@@ -1,0 +1,152 @@
+"""Inversion loops (DDIM and edit-friendly DDPM) as jitted `lax.scan` programs.
+
+Rebuilds `src/ddim_inversion.py` and `src/ddpm_inversion.py:31-176` of the
+reference as pure on-device scans:
+
+  * `ddim_invert`   — deterministic x0 -> xT.
+  * `ddpm_invert`   — arXiv 2304.06140: samples the full forward trajectory
+    x_1:T independently per t, then extracts per-step noise maps
+    z_t = (x_{t-1} - mu_hat_t) / (eta sigma_t) with the error-accumulation
+    correction, carrying the whole trajectory through the scan as a single
+    HBM-resident array updated with `dynamic_update_slice`.
+
+RNG is threaded `jax.random` keys (replacing the reference's global torch
+Generator); parity with the torch implementation is defined at fixed noise
+inputs, so `sample_xts` also accepts precomputed noise.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import schedule as S
+from .denoise import EpsFn
+
+Array = jax.Array
+
+
+def ddim_invert(
+    sched: S.Schedule,
+    eps_fn: EpsFn,
+    x0: Array,
+    num_steps: Optional[int] = None,
+) -> Array:
+    """x_T <- x_0 via DDIM inversion (`src/ddim_inversion.py:52-75`)."""
+    n = num_steps or sched.num_inference_steps
+    timesteps = sched.timesteps[-n:][::-1]  # ascending
+
+    def body(x, t):
+        eps = eps_fn(x, t)
+        return S.next_step(sched, x, eps, t), None
+
+    xT, _ = jax.lax.scan(body, x0, timesteps)
+    return xT
+
+
+class InversionResult(NamedTuple):
+    xt: Array  # inverted latent x_T, (B, H, W, C)
+    zs: Optional[Array]  # per-step noise maps, (S, B, H, W, C); None at eta=0
+    xts: Optional[Array]  # trajectory incl. x0 at the end, (S+1, B, H, W, C)
+
+
+def sample_xts(
+    sched: S.Schedule, x0: Array, key: Array
+) -> Array:
+    """Forward diffusion sampling P(x_1:T | x_0), independent per timestep
+    (`src/ddpm_inversion.py:31-55`). Returns (S+1, B, H, W, C) with
+    xts[idx] matching timesteps[idx] (idx 0 noisiest) and xts[S] = x0."""
+    n = sched.num_inference_steps
+    noise = jax.random.normal(key, (n,) + x0.shape, x0.dtype)
+    a = S.alpha_bar(sched, sched.timesteps)  # (S,)
+    a = a.reshape((n,) + (1,) * x0.ndim).astype(x0.dtype)
+    xts = jnp.sqrt(a) * x0[None] + jnp.sqrt(1.0 - a) * noise
+    return jnp.concatenate([xts, x0[None]], axis=0)
+
+
+def ddpm_invert(
+    sched: S.Schedule,
+    eps_fn: EpsFn,
+    x0: Array,
+    eta: float = 1.0,
+    key: Optional[Array] = None,
+    xts: Optional[Array] = None,
+) -> InversionResult:
+    """Edit-friendly DDPM inversion (`src/ddpm_inversion.py:80-201`).
+
+    eta == 0 degenerates to the deterministic forward-step loop; eta > 0
+    extracts noise maps zs and returns the (corrected) trajectory xts.
+    Either `key` (to sample the forward trajectory) or a precomputed `xts`
+    must be given when eta > 0.
+    """
+    n = sched.num_inference_steps
+    timesteps = sched.timesteps
+
+    if eta == 0:
+        def body0(x, t):
+            eps = eps_fn(x, t)
+            return S.forward_step(sched, x, eps, t), None
+
+        xT, _ = jax.lax.scan(body0, x0, timesteps[::-1])
+        return InversionResult(xT, None, None)
+
+    if xts is None:
+        if key is None:
+            raise ValueError("eta > 0 requires key or precomputed xts")
+        xts = sample_xts(sched, x0, key)
+
+    def body(carry, inputs):
+        xts_c = carry
+        idx, t = inputs
+        xt = jax.lax.dynamic_index_in_dim(xts_c, idx, keepdims=False)
+        xtm1 = jax.lax.dynamic_index_in_dim(xts_c, idx + 1, keepdims=False)
+        eps = eps_fn(xt, t)
+        mu, sigma = S.posterior_mean_from_eps(sched, xt, eps, t, eta)
+        z = (xtm1 - mu) / sigma
+        # error-accumulation correction (eq. 3, inbarhub DDPM_inversion):
+        xtm1_new = mu + sigma * z
+        xts_c = jax.lax.dynamic_update_index_in_dim(xts_c, xtm1_new, idx + 1, axis=0)
+        return xts_c, z
+
+    # iterate t ascending == idx descending (S-1 .. 0), reads stay ahead of writes
+    idxs = jnp.arange(n - 1, -1, -1)
+    xts_out, zs_rev = jax.lax.scan(body, xts, (idxs, timesteps[::-1]))
+    zs = zs_rev[::-1]  # back to idx order (noisiest first)
+    zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
+    xt = xts_out[0]
+    return InversionResult(xt, zs, xts_out)
+
+
+def ddpm_sample(
+    sched: S.Schedule,
+    eps_fn: EpsFn,
+    zs: Array,
+    xts: Array,
+    t_skip: int = 36,
+    eta: float = 1.0,
+    collect: bool = False,
+) -> Array | Tuple[Array, Array]:
+    """Re-generate from extracted noise maps (`src/ddpm_inversion.py:280-313`):
+    start at xts[t_skip], consume zs[t_skip:], reverse_step each timestep.
+    `t_skip` must be static (it sets the scan length).
+
+    Note: the roundtrip reproduces the inversion trajectory exactly at every
+    step except the last — sigma_{t_min} == 0 when final_alpha_cumprod == 1,
+    so zs[-1] is zeroed (`ddpm_inversion.py:172`) and the final step returns
+    the model's pred-x0 instead of x0. Same behaviour as the reference."""
+    zs_used = zs[t_skip:]
+    xT = xts[t_skip]
+    timesteps = sched.timesteps[-zs_used.shape[0]:]
+
+    def body(x, inputs):
+        t, z = inputs
+        eps = eps_fn(x, t)
+        x_new, _ = S.reverse_step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
+        return x_new, x_new if collect else None
+
+    x_final, traj = jax.lax.scan(body, xT, (timesteps, zs_used))
+    if collect:
+        return x_final, traj
+    return x_final

@@ -1,0 +1,179 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_image_editing_tpu.core import make_schedule, ddim_step
+from diffusion_image_editing_tpu.engine import (
+    ddim_invert,
+    ddpm_invert,
+    ddpm_sample,
+    edit,
+    generate,
+    make_cfg_eps_fn,
+    make_eps_fn,
+)
+from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+
+STEPS = 10
+
+
+def _setup(clip=False):
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=clip)
+    model = UNet2D(TINY_UNET2D)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.int32(0))
+    eps_fn = make_eps_fn(model.apply, params)
+    return sched, eps_fn
+
+
+def test_generate_matches_python_loop():
+    sched, eps_fn = _setup()
+    xt = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    out = generate(sched, eps_fn, xt, eta=0.0)
+
+    x = xt
+    for t in np.asarray(sched.timesteps):
+        eps = eps_fn(x, jnp.int32(t))
+        x, _ = ddim_step(sched, x, eps, jnp.int32(t), eta=0.0)
+    np.testing.assert_allclose(np.asarray(out.x0), np.asarray(x), rtol=1e-3, atol=1e-3)
+
+
+def test_generate_with_eta_and_collect():
+    sched, eps_fn = _setup()
+    key = jax.random.PRNGKey(2)
+    xt = jax.random.normal(key, (1, 16, 16, 3))
+    zs = jax.random.normal(jax.random.fold_in(key, 1), (STEPS, 1, 16, 16, 3))
+    out = generate(sched, eps_fn, xt, eta=1.0, zs=zs, collect=True)
+    assert out.xts.shape == (STEPS, 1, 16, 16, 3)
+    assert out.model_outputs.shape == (STEPS, 1, 16, 16, 3)
+    assert not bool(jnp.any(jnp.isnan(out.x0)))
+
+
+def test_generate_truncated_by_zs_length():
+    sched, eps_fn = _setup()
+    key = jax.random.PRNGKey(3)
+    xt = jax.random.normal(key, (1, 16, 16, 3))
+    zs = jax.random.normal(jax.random.fold_in(key, 1), (4, 1, 16, 16, 3))
+    out = generate(sched, eps_fn, xt, eta=1.0, zs=zs, collect=True)
+    assert out.xts.shape[0] == 4  # diffusion_loop truncation semantics
+
+
+def test_ddpm_inversion_roundtrip_exact():
+    """The core property of edit-friendly inversion (arXiv 2304.06140):
+    the reverse process reproduces the inversion trajectory exactly at every
+    intermediate step; the final step returns pred-x0 (zs[-1] is zeroed since
+    sigma_{t_min}=0) so x0 matches only up to the model's denoising error —
+    same as the reference."""
+    sched, eps_fn = _setup()
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 3)) * 0.5
+    res = ddpm_invert(sched, eps_fn, x0, eta=1.0, key=jax.random.PRNGKey(5))
+    assert res.zs.shape == (STEPS, 1, 16, 16, 3)
+    assert res.xts.shape == (STEPS + 1, 1, 16, 16, 3)
+    recon, traj = ddpm_sample(sched, eps_fn, res.zs, res.xts, t_skip=0, eta=1.0, collect=True)
+    # intermediate trajectory: exact (float tolerance)
+    np.testing.assert_allclose(
+        np.asarray(traj[:-1]), np.asarray(res.xts[1:STEPS]), rtol=1e-3, atol=1e-3
+    )
+    # final step: model-error bound (random tiny UNet => loose)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x0), atol=0.1)
+
+
+def test_ddpm_inversion_roundtrip_with_tskip():
+    sched, eps_fn = _setup()
+    x0 = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 16, 3)) * 0.5
+    res = ddpm_invert(sched, eps_fn, x0, eta=1.0, key=jax.random.PRNGKey(7))
+    recon, traj = ddpm_sample(sched, eps_fn, res.zs, res.xts, t_skip=4, eta=1.0, collect=True)
+    np.testing.assert_allclose(
+        np.asarray(traj[:-1]), np.asarray(res.xts[5:STEPS]), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x0), atol=0.1)
+
+
+def test_ddpm_invert_eta0():
+    sched, eps_fn = _setup()
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (1, 16, 16, 3)) * 0.5
+    res = ddpm_invert(sched, eps_fn, x0, eta=0.0)
+    assert res.zs is None and res.xts is None
+    assert res.xt.shape == x0.shape
+
+
+def test_ddim_inversion_approximate_roundtrip():
+    """DDIM inversion error is O(1/steps): with a smooth (Lipschitz) denoiser
+    the invert->generate roundtrip must nearly recover x0. (A random-init
+    UNet is not smooth enough for a meaningful bound.)"""
+    sched = make_schedule(num_inference_steps=50, clip_sample=False)
+
+    def eps_fn(x, t):  # smooth analytic denoiser
+        return 0.1 * x
+
+    x0 = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 16, 3)) * 0.3
+    xT = ddim_invert(sched, eps_fn, x0)
+    recon = generate(sched, eps_fn, xT, eta=0.0).x0
+    err = float(jnp.mean(jnp.abs(recon - x0)))
+    assert err < 0.03, err
+
+
+def test_edit_with_color_guidance_moves_channel():
+    sched, eps_fn = _setup()
+    xt = jax.random.normal(jax.random.PRNGKey(10), (1, 16, 16, 3))
+    attr = SingleColorAttrFunc(
+        target=1.0, color_idx=0, loss_scale=50.0, t1=0, t2=STEPS
+    )
+    plain = edit(sched, eps_fn, xt, eta=0.0)
+    guided = edit(sched, eps_fn, xt, eta=0.0, attr_func=attr)
+    assert float(jnp.mean(guided.x0[..., 0])) > float(jnp.mean(plain.x0[..., 0]))
+
+
+def test_edit_window_masks_guidance():
+    sched, eps_fn = _setup()
+    xt = jax.random.normal(jax.random.PRNGKey(11), (1, 16, 16, 3))
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=50.0, t1=0, t2=0)
+    plain = edit(sched, eps_fn, xt, eta=0.0)
+    windowed = edit(sched, eps_fn, xt, eta=0.0, attr_func=attr)
+    np.testing.assert_allclose(
+        np.asarray(windowed.x0), np.asarray(plain.x0), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_edit_ddpm_step_rule_with_mask_grad():
+    sched, eps_fn = _setup()
+    key = jax.random.PRNGKey(12)
+    xt = jax.random.normal(key, (1, 16, 16, 3))
+    zs = jax.random.normal(jax.random.fold_in(key, 1), (STEPS, 1, 16, 16, 3))
+    mask = jnp.zeros((1, 16, 16, 3)).at[:, :8].set(1.0)
+    attr = SingleColorAttrFunc(
+        target=1.0, color_idx=0, loss_scale=50.0, t1=0, t2=STEPS, mask_attr_grad=True
+    )
+    out = edit(
+        sched, eps_fn, xt, eta=1.0, zs=zs, attr_func=attr, mask=mask,
+        step_rule="ddpm", collect=True,
+    )
+    assert out.pred_original_samples is not None  # fixed NameError parity gap
+    assert not bool(jnp.any(jnp.isnan(out.x0)))
+
+
+def test_cfg_eps_fn_mixing():
+    def apply_fn(params, x, t, ctx):
+        # fake conditional unet: eps = x * mean(ctx)
+        return x * jnp.mean(ctx, axis=(1, 2))[:, None, None, None]
+
+    text_emb = jnp.stack([jnp.zeros((4, 8)), jnp.ones((4, 8))])  # uncond, cond
+    eps_fn = make_cfg_eps_fn(apply_fn, None, text_emb, cfg_scale=3.5)
+    x = jnp.ones((2, 4, 4, 3))
+    out = eps_fn(x, jnp.int32(0))
+    # uncond pred = 0, cond pred = x -> mixed = 0 + 3.5*(x-0)
+    np.testing.assert_allclose(np.asarray(out), 3.5 * np.asarray(x), rtol=1e-6)
+
+
+def test_edit_jit_with_attr_func_arg():
+    sched, eps_fn = _setup()
+    xt = jax.random.normal(jax.random.PRNGKey(13), (1, 16, 16, 3))
+
+    @jax.jit
+    def run(attr, x):
+        return edit(sched, eps_fn, x, eta=0.0, attr_func=attr).x0
+
+    a1 = run(SingleColorAttrFunc(target=1.0, loss_scale=10.0, t2=STEPS), xt)
+    a2 = run(SingleColorAttrFunc(target=1.0, loss_scale=20.0, t2=STEPS), xt)  # no retrace
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
