@@ -1,0 +1,3 @@
+from .edit_pipeline import EditPipeline, EditorOutput, SegDiffEditPipeline  # noqa: F401
+from .masks import MaskCreator, apply_mask  # noqa: F401
+from .wrappers import DDPM, LDM, SD, DiffusionWrapper  # noqa: F401

@@ -1,0 +1,216 @@
+"""EditPipeline — the top-level editing API.
+
+Rebuild of `src/SegDiffEditPipeline.py:40-302`: segment -> mask -> encode ->
+invert (DDIM or edit-friendly DDPM) -> mask-blended resynthesis -> guided
+denoise -> decode. The per-step hot loop lives in `engine.edit` as one jitted
+scan; this layer is orchestration, validation, and host I/O.
+
+Reference bugs fixed here (SURVEY.md "quirks to fix"):
+  * `check_classes(None)` TypeError (SegDiffEditPipeline.py:61-63 vs :85-87).
+  * `pred_original_sample` NameError in the ddpm branch (:298) — pred-x0 is
+    always computed.
+  * SD alpha-channel mask hardcoded to 32x32 (:196-198) — sized from the
+    latent here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.edit import edit as run_edit
+from ..engine import invert as I
+from ..guidance.attr_functions import AttrFunc
+from ..utils.constants import ATTRS
+from .masks import MaskCreator, apply_mask
+from .wrappers import DDPM, LDM, SD, DiffusionWrapper
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class EditorOutput:
+    """`EditorOutput` parity (`SegDiffEditPipeline.py:33-37`), device arrays;
+    convert with `host.transforms.array_to_pil`."""
+
+    imgs: Array  # decoded image(s), NHWC in [-1, 1]
+    pred_original_samples: Optional[Array] = None  # (S, B, H, W, C) decoded lazily
+    model_outputs: Optional[Array] = None  # (S, B, H, W, C) latent-space
+
+
+class EditPipeline:
+    """Editing with a segmentation model + diffusion model + attr functions.
+
+    `segmentation_fn`: (B, H, W, 3) [-1,1] image -> (H, W) int parsing map
+    (the `SegmentationModel.__call__` contract, `src/models.py:113-118`).
+    """
+
+    def __init__(
+        self,
+        diffusion_wrapper: DiffusionWrapper,
+        segmentation_fn: Optional[Callable[[Array], Array]] = None,
+    ):
+        self.diffusion_wrapper = diffusion_wrapper
+        self.segmentation_fn = segmentation_fn
+
+    # ---- validation (SegDiffEditPipeline.py:58-76) -------------------------
+    def check_classes(self, classes: Optional[Sequence[int]]) -> None:
+        if classes is None:
+            return
+        for x in classes:
+            assert 0 <= x < len(ATTRS), f"class {x} out of range"
+
+    def check_inputs(self, attr_func, eta, mask, resynthesize, zs) -> None:
+        if eta > 0 and zs is None:
+            raise ValueError("eta > 0 and zs is empty")
+        if zs is not None and eta == 0:
+            raise ValueError("eta == 0 and zs is not empty")
+        if attr_func is None and (mask is None or resynthesize is None):
+            raise ValueError("attr_func is None and mask is None implies no edit")
+
+    # ---- preparation -------------------------------------------------------
+    def create_mask(
+        self, classes: Sequence[int], dilate_mask: bool, parsing: Array, dim: int
+    ) -> Array:
+        creator = MaskCreator(dilate_mask=dilate_mask, resize_size=(dim, dim))
+        return creator.create_mask(parsing, classes)
+
+    def prepare_for_edit(
+        self,
+        img: Array,
+        classes: Optional[Sequence[int]] = None,
+        dilate_mask: bool = False,
+    ):
+        """segment -> mask (at latent resolution) -> encode
+        (`SegDiffEditPipeline.py:79-97`)."""
+        self.check_classes(classes)
+        if classes is not None:
+            if self.segmentation_fn is None:
+                raise ValueError("classes given but no segmentation model")
+            parsing = self.segmentation_fn(img)
+            dim = self.diffusion_wrapper.data_dimensionality
+            mask = self.create_mask(classes, dilate_mask, parsing, dim)
+        else:
+            parsing = None
+            mask = None
+        latent = self.diffusion_wrapper.encode(img)
+        return latent, mask, parsing
+
+    def edit_noise_map(self, noise_map: Array, mask: Array, key: Array) -> Array:
+        """Resynthesis blend: fresh noise inside the mask
+        (`SegDiffEditPipeline.py:99-111`). Works for both (B,H,W,C) xt and
+        (S,B,H,W,C) zs."""
+        fresh = jax.random.normal(key, noise_map.shape, noise_map.dtype)
+        return apply_mask(mask, noise_map, fresh)
+
+    def edit_noise_maps(self, xt, zs, mask, resynthesize, key):
+        if mask is not None and resynthesize:
+            k1, k2 = jax.random.split(key)
+            xt = self.edit_noise_map(xt, mask, k1)
+            if zs is not None:
+                zs = self.edit_noise_map(zs, mask, k2)
+        return xt, zs
+
+    def prepare_real_image_edit(
+        self,
+        img: Array,
+        eta: float = 0.0,
+        inversion_method: str = "ddim",
+        classes: Optional[Sequence[int]] = None,
+        dilate_mask: bool = False,
+        prompt_ids: Optional[Array] = None,
+        cfg_scale: float = 3.5,
+        key: Optional[Array] = None,
+    ):
+        """Invert a real image for editing (`SegDiffEditPipeline.py:152-200`)."""
+        if inversion_method == "ddim" and eta > 0:
+            raise ValueError("eta > 0 and inversion_method == 'ddim' is not possible")
+
+        latent, mask, parsing = self.prepare_for_edit(img, classes, dilate_mask)
+
+        w = self.diffusion_wrapper
+        if isinstance(w, (DDPM, LDM)):
+            # real-image editing requires unclipped pred-x0 (models.py:28-31)
+            assert not w.schedule.clip_sample, "real-image edit requires clip_sample=False"
+
+        sched = w.schedule
+        text_emb = w.prep_text(prompt_ids)
+        eps_fn = w.eps_fn(text_emb, cfg_scale)
+
+        if inversion_method == "ddim":
+            xt = jax.jit(lambda x: I.ddim_invert(sched, eps_fn, x))(latent)
+            zs, xts = None, None
+        elif inversion_method == "ddpm":
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            res = jax.jit(lambda x, k: I.ddpm_invert(sched, eps_fn, x, eta=eta, key=k))(
+                latent, key
+            )
+            xt, zs, xts = res.xt, res.zs, res.xts
+        else:
+            raise ValueError(f"Unknown inversion method: {inversion_method}")
+
+        if isinstance(w, SD) and mask is not None:
+            # 4-channel latents: append an all-ones alpha channel to the mask,
+            # sized from the latent (fixes the 32x32 hardcode at :196-198).
+            alpha = jnp.ones(mask.shape[:-1] + (1,), mask.dtype)
+            mask = jnp.concatenate([mask, alpha], axis=-1)
+
+        return xt, zs, xts, mask, parsing
+
+    # ---- the edit ----------------------------------------------------------
+    def edit_image(
+        self,
+        xt: Array,
+        eta: float = 0.0,
+        zs: Optional[Array] = None,
+        xts: Optional[Array] = None,
+        mask: Optional[Array] = None,
+        attr_func: Optional[AttrFunc] = None,
+        prompt_ids: Optional[Array] = None,
+        cfg_scale: float = 3.5,
+        inversion_method: str = "ddim",
+        t_skip: Optional[int] = None,
+        resynthesize: bool = False,
+        x0_ref: Optional[Array] = None,
+        key: Optional[Array] = None,
+        collect: bool = True,
+    ) -> EditorOutput:
+        """Guided denoise of (possibly edited) noise maps
+        (`SegDiffEditPipeline.py:202-302`)."""
+        self.check_inputs(attr_func, eta, mask, resynthesize, zs)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        xt, zs = self.edit_noise_maps(xt, zs, mask, resynthesize, key)
+
+        if xts is not None:
+            if t_skip is None:
+                raise ValueError("xts given but t_skip is None")
+            xt = xts[t_skip]
+            zs = zs[t_skip:]
+
+        w = self.diffusion_wrapper
+        sched = w.schedule
+        text_emb = w.prep_text(prompt_ids)
+        eps_fn = w.eps_fn(text_emb, cfg_scale)
+        step_rule = "ddpm" if (inversion_method == "ddpm" and t_skip is not None) else "ddim"
+
+        result = run_edit(
+            sched, eps_fn, xt, eta=eta, zs=zs, attr_func=attr_func,
+            decode_fn=w.decode_fn(), mask=mask, x0_ref=x0_ref,
+            step_rule=step_rule, collect=collect,
+        )
+
+        imgs = w.decode(result.x0)
+        return EditorOutput(
+            imgs=imgs,
+            pred_original_samples=result.pred_original_samples,
+            model_outputs=result.model_outputs,
+        )
+
+
+# Back-compat alias mirroring the reference's class name.
+SegDiffEditPipeline = EditPipeline

@@ -1,0 +1,203 @@
+"""Model-family wrappers: the codec boundary + generation API.
+
+Rebuild of `src/base_diffusion.py` + `src/diffusion_classes.py`: a wrapper
+holds the Flax UNet (apply + params), the Schedule, and the codec
+(identity / VQModel / AutoencoderKL with 0.18215 scaling). The per-sample
+Python loop of `generate_images` (`base_diffusion.py:99-148`) becomes a
+batched, jitted scan; RNG is jax.random keys instead of a global torch
+Generator. Gradient flow through `decode` is caller-controlled (the
+reference's `no_grad` flag disappears in functional JAX).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.schedule import Schedule
+from ..engine import denoise as D
+from ..engine.denoise import EpsFn
+
+Array = jax.Array
+
+
+class DiffusionWrapper:
+    """Base wrapper (`src/base_diffusion.py:29-47` parity)."""
+
+    family = "base"
+
+    def __init__(self, unet_module, unet_params, sched: Schedule):
+        self.unet = unet_module
+        self.unet_params = unet_params
+        self.schedule = sched
+        self.data_dimensionality = unet_module.config.sample_size
+        self.latent_channels = unet_module.config.in_channels
+        self._jit_cache: Dict[Any, Callable] = {}
+
+    # ---- codec boundary --------------------------------------------------
+    def encode(self, sample: Array) -> Array:
+        raise NotImplementedError
+
+    def decode(self, latent: Array) -> Array:
+        raise NotImplementedError
+
+    def decode_fn(self) -> Callable[[Array], Array]:
+        """Differentiable latent->image function for guidance."""
+        return self.decode
+
+    # ---- denoiser --------------------------------------------------------
+    def prep_text(self, prompt_ids: Optional[Array]) -> Optional[Array]:
+        """Returns stacked [uncond; cond] embeddings, or None (uncond models).
+        `src/diffusion_utils.py:136-138` / `diffusion_classes.py:43-44`."""
+        return None
+
+    def eps_fn(self, text_emb: Optional[Array] = None, cfg_scale: float = 3.5) -> EpsFn:
+        if text_emb is None:
+            return D.make_eps_fn(self.unet.apply, self.unet_params)
+        return D.make_cfg_eps_fn(self.unet.apply, self.unet_params, text_emb, cfg_scale)
+
+    # ---- sampling helpers --------------------------------------------------
+    def latent_shape(self, batch: int = 1) -> Tuple[int, ...]:
+        d = self.data_dimensionality
+        return (batch, d, d, self.latent_channels)
+
+    def initialize_random_samples(
+        self, key: Array, num_inference_steps: int, eta: float, batch: int = 1
+    ) -> Tuple[Array, Optional[Array]]:
+        """xt (and zs when eta > 0) — `src/utils.py:40-74`, without the
+        hardcoded `.to("cuda")`."""
+        k_x, k_z = jax.random.split(key)
+        xt = jax.random.normal(k_x, self.latent_shape(batch))
+        zs = None
+        if eta > 0:
+            zs = jax.random.normal(
+                k_z, (num_inference_steps,) + self.latent_shape(batch)
+            )
+        return xt, zs
+
+    # ---- generation API ----------------------------------------------------
+    def generate_image(
+        self,
+        xt: Array,
+        eta: float = 0.0,
+        zs: Optional[Array] = None,
+        num_inference_steps: int = 50,
+        prompt_ids: Optional[Array] = None,
+        cfg_scale: float = 3.5,
+        collect: bool = False,
+    ) -> Tuple[Array, D.Trajectory]:
+        """One denoising run; returns (decoded image NHWC [-1,1], Trajectory).
+        `src/base_diffusion.py:49-97` parity, jitted end-to-end."""
+        sched = self._sched_for(num_inference_steps)
+        text_emb = self.prep_text(prompt_ids)
+        eps_fn = self.eps_fn(text_emb, cfg_scale)
+
+        key = ("gen", num_inference_steps, eta, zs is not None, collect,
+               cfg_scale if text_emb is not None else None)
+        if key not in self._jit_cache:
+            def run(xt_, zs_):
+                traj = D.generate(sched, eps_fn, xt_, eta=eta, zs=zs_, collect=collect)
+                return self.decode(traj.x0), traj
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](xt, zs)
+
+    def generate_images(
+        self,
+        num_images: int = 1,
+        eta: float = 0.0,
+        num_inference_steps: int = 50,
+        seed: Optional[int] = None,
+        prompt_ids: Optional[Array] = None,
+        cfg_scale: float = 3.5,
+        collect: bool = False,
+    ):
+        """Multi-sample driver (`src/base_diffusion.py:99-148`) — one batched
+        call instead of the reference's serial per-image loop."""
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        xt, zs = self.initialize_random_samples(
+            key, num_inference_steps, eta, batch=num_images
+        )
+        img, traj = self.generate_image(
+            xt, eta=eta, zs=zs, num_inference_steps=num_inference_steps,
+            prompt_ids=prompt_ids, cfg_scale=cfg_scale, collect=collect,
+        )
+        return img, traj, xt, zs
+
+    def _sched_for(self, num_inference_steps: int) -> Schedule:
+        if num_inference_steps == self.schedule.num_inference_steps:
+            return self.schedule
+        return self.schedule.with_num_inference_steps(num_inference_steps)
+
+
+class DDPM(DiffusionWrapper):
+    """Pixel-space model: identity codec (`src/diffusion_classes.py:73-81`)."""
+
+    family = "ddpm"
+
+    def encode(self, sample: Array) -> Array:
+        return sample
+
+    def decode(self, latent: Array) -> Array:
+        return latent
+
+
+class LDM(DiffusionWrapper):
+    """VQ latent model (`src/diffusion_classes.py:47-70`)."""
+
+    family = "ldm"
+
+    def __init__(self, unet_module, unet_params, sched, vqvae_module, vqvae_params):
+        super().__init__(unet_module, unet_params, sched)
+        self.vqvae = vqvae_module
+        self.vqvae_params = vqvae_params
+
+    def encode(self, sample: Array) -> Array:
+        return self.vqvae.apply(self.vqvae_params, sample, method="encode")
+
+    def decode(self, latent: Array) -> Array:
+        return self.vqvae.apply(self.vqvae_params, latent, method="decode")
+
+
+class SD(DiffusionWrapper):
+    """Stable Diffusion: KL-VAE codec with 0.18215 scaling + CLIP text prep
+    (`src/diffusion_classes.py:15-44`)."""
+
+    family = "sd"
+
+    def __init__(
+        self, unet_module, unet_params, sched, vae_module, vae_params,
+        text_module=None, text_params=None, tokenizer=None,
+    ):
+        super().__init__(unet_module, unet_params, sched)
+        self.vae = vae_module
+        self.vae_params = vae_params
+        self.text_encoder = text_module
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+
+    def encode(self, sample: Array) -> Array:
+        latent = self.vae.apply(self.vae_params, sample, method="encode")
+        return self.vae.config.scaling_factor * latent
+
+    def decode(self, latent: Array) -> Array:
+        latent = latent / self.vae.config.scaling_factor
+        return self.vae.apply(self.vae_params, latent, method="decode")
+
+    def encode_text_ids(self, input_ids: Array) -> Array:
+        return self.text_encoder.apply(self.text_params, input_ids)
+
+    def prep_text(self, prompt_ids: Optional[Array]) -> Optional[Array]:
+        """prompt_ids: (L,) or (2, L) token ids. A single sequence is paired
+        with the unconditional (empty-prompt) encoding, normalized ordering
+        [uncond; cond]."""
+        if prompt_ids is None:
+            return None
+        if prompt_ids.ndim == 1:
+            if self.tokenizer is None:
+                raise ValueError("pairing with the empty prompt requires a tokenizer")
+            uncond_ids = jnp.asarray(self.tokenizer.encode(""), jnp.int32)
+            prompt_ids = jnp.stack([uncond_ids, prompt_ids])
+        return self.encode_text_ids(prompt_ids)

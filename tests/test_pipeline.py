@@ -1,0 +1,189 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_image_editing_tpu.core import make_schedule
+from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+from diffusion_image_editing_tpu.models import (
+    TINY_CLIP_TEXT,
+    TINY_SD_UNET,
+    TINY_UNET2D,
+    TINY_VAE,
+    AutoencoderConfig,
+    AutoencoderKL,
+    CLIPTextEncoder,
+    UNet2D,
+    UNet2DCondition,
+    VQModel,
+)
+from diffusion_image_editing_tpu.pipeline import DDPM, LDM, SD, EditPipeline
+
+STEPS = 6
+
+
+def make_ddpm(clip_sample=False):
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=clip_sample)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    return DDPM(model, params, sched)
+
+
+def fake_segmentation(img):
+    """(B,H,W,3) -> (H,W) parsing: class 17 in the top-left quadrant."""
+    h, w = img.shape[1], img.shape[2]
+    parsing = np.zeros((h, w), np.int32)
+    parsing[: h // 2, : w // 2] = 17
+    return jnp.asarray(parsing)
+
+
+def test_generate_images_api():
+    w = make_ddpm(clip_sample=True)
+    img, traj, xt, zs = w.generate_images(num_images=2, eta=0.0, num_inference_steps=STEPS, seed=7)
+    assert img.shape == (2, 16, 16, 3)
+    assert zs is None
+    assert not bool(jnp.any(jnp.isnan(img)))
+
+
+def test_generate_images_eta1_seeded_deterministic():
+    w = make_ddpm(clip_sample=True)
+    img1, *_ = w.generate_images(num_images=1, eta=1.0, num_inference_steps=STEPS, seed=3)
+    img2, *_ = w.generate_images(num_images=1, eta=1.0, num_inference_steps=STEPS, seed=3)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_prepare_for_edit_creates_mask():
+    w = make_ddpm()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3)) * 0.1
+    latent, mask, parsing = pipe.prepare_for_edit(img, classes=[17], dilate_mask=False)
+    assert latent.shape == (1, 16, 16, 3)
+    assert mask.shape == (1, 16, 16, 3)
+    assert float(mask[0, 0, 0, 0]) == 1.0 and float(mask[0, -1, -1, 0]) == 0.0
+
+
+def test_check_classes_none_ok():
+    pipe = EditPipeline(make_ddpm(), None)
+    pipe.check_classes(None)  # reference raised TypeError here
+    with pytest.raises(AssertionError):
+        pipe.check_classes([99])
+
+
+def test_prepare_real_image_edit_ddim_and_edit():
+    w = make_ddpm()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 3)) * 0.1
+    xt, zs, xts, mask, parsing = pipe.prepare_real_image_edit(
+        img, eta=0.0, inversion_method="ddim", classes=[17]
+    )
+    assert zs is None and xts is None
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS)
+    out = pipe.edit_image(xt, eta=0.0, mask=mask, attr_func=attr)
+    assert out.imgs.shape == (1, 16, 16, 3)
+    assert out.pred_original_samples.shape[0] == STEPS
+    assert not bool(jnp.any(jnp.isnan(out.imgs)))
+
+
+def test_prepare_real_image_edit_ddpm_tskip_resynthesize():
+    w = make_ddpm()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 0.1
+    xt, zs, xts, mask, parsing = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", classes=[17], key=jax.random.PRNGKey(4)
+    )
+    assert zs.shape == (STEPS, 1, 16, 16, 3)
+    assert xts.shape == (STEPS + 1, 1, 16, 16, 3)
+    out = pipe.edit_image(
+        xt, eta=1.0, zs=zs, xts=xts, mask=mask, inversion_method="ddpm",
+        t_skip=2, resynthesize=True, key=jax.random.PRNGKey(5),
+    )
+    assert out.imgs.shape == (1, 16, 16, 3)
+    assert out.model_outputs.shape[0] == STEPS - 2  # Tskip truncation
+    assert not bool(jnp.any(jnp.isnan(out.imgs)))
+
+
+def test_ddim_eta_validation():
+    pipe = EditPipeline(make_ddpm(), fake_segmentation)
+    img = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(ValueError):
+        pipe.prepare_real_image_edit(img, eta=1.0, inversion_method="ddim")
+    with pytest.raises(ValueError):
+        pipe.edit_image(jnp.zeros((1, 16, 16, 3)), eta=1.0, zs=None, mask=jnp.ones(1),
+                        resynthesize=True)
+
+
+def test_clip_sample_assert_for_real_edit():
+    pipe = EditPipeline(make_ddpm(clip_sample=True), fake_segmentation)
+    img = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(AssertionError):
+        pipe.prepare_real_image_edit(img, eta=0.0, inversion_method="ddim")
+
+
+def make_sd():
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False,
+                          beta_schedule="scaled_linear", beta_start=0.00085,
+                          beta_end=0.012, steps_offset=1, set_alpha_to_one=False)
+    unet = UNet2DCondition(TINY_SD_UNET)
+    uparams = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), jnp.int32(0),
+        jnp.zeros((1, 8, 32)),
+    )
+    vae_cfg = AutoencoderConfig(
+        latent_channels=4, block_out_channels=(16, 16, 32), layers_per_block=1,
+        norm_num_groups=8, sample_size=32,
+    )
+    vae = AutoencoderKL(vae_cfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    text = CLIPTextEncoder(TINY_CLIP_TEXT)
+    tparams = text.init(jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32))
+    return SD(unet, uparams, sched, vae, vparams, text, tparams)
+
+
+def test_sd_encode_decode_shapes():
+    w = make_sd()
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3)) * 0.1
+    latent = w.encode(img)
+    assert latent.shape == (1, 8, 8, 4)
+    recon = w.decode(latent)
+    assert recon.shape == (1, 32, 32, 3)
+
+
+def test_sd_guided_edit_through_vae():
+    """Guidance gradients must flow through the VAE decoder (the reference's
+    `decode(no_grad=False)` path, diffusion_classes.py:32-41)."""
+    w = make_sd()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3)) * 0.1
+    prompt_ids = jnp.zeros((2, 8), jnp.int32)  # [uncond; cond]
+    xt, zs, xts, mask, parsing = pipe.prepare_real_image_edit(
+        img, eta=0.0, inversion_method="ddim", classes=[17], prompt_ids=prompt_ids
+    )
+    assert mask.shape == (1, 8, 8, 4)  # alpha channel appended at latent size
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=5.0, t1=0, t2=STEPS)
+    out = pipe.edit_image(xt, eta=0.0, mask=mask, attr_func=attr, prompt_ids=prompt_ids)
+    assert out.imgs.shape == (1, 32, 32, 3)
+    assert not bool(jnp.any(jnp.isnan(out.imgs)))
+
+
+def test_ldm_wrapper_roundtrip_shapes():
+    from diffusion_image_editing_tpu.models import AutoencoderConfig
+
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False)
+    unet = UNet2D(TINY_UNET2D)
+    uparams = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    vq_cfg = AutoencoderConfig(
+        latent_channels=3, block_out_channels=(16,), layers_per_block=1,
+        norm_num_groups=8, sample_size=16, double_z=False,
+        num_vq_embeddings=32, vq_embed_dim=3, scaling_factor=1.0,
+    )
+    vq = VQModel(vq_cfg)
+    vqparams = vq.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    w = LDM(unet, uparams, sched, vq, vqparams)
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 3)) * 0.1
+    latent = w.encode(img)
+    assert latent.shape == (1, 16, 16, 3)
+    recon = w.decode(latent)
+    assert recon.shape == (1, 16, 16, 3)
+    # guidance grads flow through quantizer via straight-through estimator
+    g = jax.grad(lambda z: jnp.sum(w.decode(z) ** 2))(latent)
+    assert float(jnp.max(jnp.abs(g))) > 0
