@@ -1,6 +1,6 @@
 from .attention import attention, attention_reference  # noqa: F401
 from .groupnorm import group_norm, group_norm_reference  # noqa: F401
-from .abn import fused_abn, fused_abn_train, mean_var, edz_eydz, invert_activation  # noqa: F401
+from .abn import FusedABNorm, fused_abn, fused_abn_train, mean_var, edz_eydz, invert_activation  # noqa: F401
 from .morphology import dilate, erode, morphology2d  # noqa: F401
 from .resize import (  # noqa: F401
     imagenet_normalize,

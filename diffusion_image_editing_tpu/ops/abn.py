@@ -245,3 +245,52 @@ def fused_abn(
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * unbiased
     return y, new_mean, new_var
+
+
+# ---------------------------------------------------------------------------
+# Flax module wrapper (the `ABN`/`InPlaceABN`/`InPlaceABNSync` nn.Module layer
+# of the reference, `modules/bn.py:13-128`)
+# ---------------------------------------------------------------------------
+
+from flax import linen as nn  # noqa: E402
+
+
+class FusedABNorm(nn.Module):
+    """Fused activated batch norm as a Flax layer with running statistics.
+
+    `axis_name` set => cross-device synced moments (InPlaceABNSync); unset =>
+    per-device (InPlaceABN). `activation="identity"` + external relu matches
+    the reference's shipped `nn.BatchNorm2d` path (`Segmentation/model.py:26`).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    activation: str = "leaky_relu"
+    slope: float = 0.01
+    axis_name: str | None = None
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            y, new_mean, new_var = fused_abn(
+                x, weight, bias, eps=self.eps, activation=self.activation,
+                slope=self.slope, axis_name=self.axis_name,
+                running_mean=ra_mean.value, running_var=ra_var.value,
+                training=True, use_pallas=self.use_pallas, momentum=self.momentum,
+            )
+            if not self.is_initializing():
+                ra_mean.value = new_mean
+                ra_var.value = new_var
+            return y
+        return fused_abn(
+            x, weight, bias, eps=self.eps, activation=self.activation,
+            slope=self.slope, running_mean=ra_mean.value, running_var=ra_var.value,
+            training=False, use_pallas=self.use_pallas,
+        )

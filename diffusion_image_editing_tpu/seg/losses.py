@@ -1,0 +1,71 @@
+"""Segmentation losses: OHEM cross-entropy and softmax focal loss.
+
+Rebuild of `src/Segmentation/loss.py`. The reference's OHEM uses dynamic
+boolean indexing (`loss[loss > thresh]` / `loss[:n_min]`, loss.py:20-28) —
+here both branches are fixed-shape masked reductions selected by a scalar
+`where`, so the loss jits and shards cleanly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+IGNORE_LABEL = 255
+
+
+def _per_pixel_ce(logits: Array, labels: Array) -> tuple[Array, Array]:
+    """(B,H,W,C) logits + (B,H,W) int labels -> per-pixel CE, valid mask."""
+    valid = labels != IGNORE_LABEL
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, ce, 0.0), valid
+
+
+def ohem_ce_loss(
+    logits: Array,
+    labels: Array,
+    thresh: float = 0.7,
+    n_min: int = 16,
+    thresh_is_prob: bool = True,
+) -> Array:
+    """Online hard example mining CE (`loss.py:12-28`): keep per-pixel losses
+    above -log(thresh) if more than n_min exceed it, else the top n_min.
+
+    `n_min` must be static (reference: batch*crop^2 // 16, train.py:97-99).
+    """
+    t = -jnp.log(jnp.asarray(thresh, jnp.float32)) if thresh_is_prob else jnp.asarray(thresh)
+    ce, _ = _per_pixel_ce(logits, labels)
+    flat = ce.reshape(-1)
+    # ignored pixels carry 0 loss and, exactly like the torch reference, stay
+    # in the vector: they sort to the tail and can appear in the top-n_min
+    # mean (as zeros) but never exceed the threshold.
+    sorted_desc = -jnp.sort(-flat)
+    n_min = min(n_min, flat.shape[0] - 1)
+    pivot = sorted_desc[n_min]
+
+    mask_thresh = flat > t
+    count = jnp.maximum(jnp.sum(mask_thresh), 1)
+    thresh_mean = jnp.sum(flat * mask_thresh) / count
+    topk_mean = jnp.mean(sorted_desc[:n_min])  # static slice: exact top-n_min
+    return jnp.where(pivot > t, thresh_mean, topk_mean)
+
+
+def softmax_focal_loss(logits: Array, labels: Array, gamma: float = 2.0) -> Array:
+    """(1 - p)^gamma-weighted NLL (`loss.py:31-43`), mean over valid pixels."""
+    ce, valid = _per_pixel_ce(logits, labels)
+    probs = jax.nn.softmax(logits, axis=-1)
+    safe = jnp.where(valid, labels, 0)
+    p_t = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    focal = (1.0 - p_t) ** gamma * ce
+    focal = jnp.where(valid, focal, 0.0)
+    return jnp.sum(focal) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def cross_entropy_loss(logits: Array, labels: Array) -> Array:
+    """Plain mean CE over valid pixels."""
+    ce, valid = _per_pixel_ce(logits, labels)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,181 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from diffusion_image_editing_tpu.models import BiSeNet, ResNet50, resize_bilinear_align_corners
+from diffusion_image_editing_tpu.seg import (
+    SyntheticFaceMask,
+    TrainConfig,
+    batch_iterator,
+    create_train_state,
+    make_sharded_train_step,
+    merge_part_masks,
+    ohem_ce_loss,
+    restore_checkpoint,
+    save_checkpoint,
+    softmax_focal_loss,
+    warmup_poly_schedule,
+)
+from diffusion_image_editing_tpu.seg.data import horizontal_flip, train_transform
+from diffusion_image_editing_tpu.seg.train import make_train_step, create_model
+
+
+def _torch_ohem(logits_nchw, labels, thresh=0.7, n_min=16, ignore=255):
+    """Reference OhemCELoss (`Segmentation/loss.py:12-28`), reimplemented."""
+    t = -torch.log(torch.tensor(thresh, dtype=torch.float))
+    criteria = torch.nn.CrossEntropyLoss(ignore_index=ignore, reduction="none")
+    loss = criteria(logits_nchw, labels).view(-1)
+    loss, _ = torch.sort(loss, descending=True)
+    if loss[n_min] > t:
+        loss = loss[loss > t]
+    else:
+        loss = loss[:n_min]
+    return torch.mean(loss)
+
+
+@pytest.mark.parametrize("seed,n_min", [(0, 16), (1, 200), (2, 4000)])
+def test_ohem_matches_torch_reference(seed, n_min):
+    rng = np.random.RandomState(seed)
+    logits = rng.normal(size=(2, 16, 16, 19)).astype(np.float32) * 3
+    labels = rng.randint(0, 19, (2, 16, 16)).astype(np.int64)
+    labels[0, :2] = 255  # some ignored pixels
+    ours = ohem_ce_loss(jnp.asarray(logits), jnp.asarray(labels), 0.7, n_min)
+    ref = _torch_ohem(
+        torch.tensor(np.transpose(logits, (0, 3, 1, 2))), torch.tensor(labels),
+        0.7, min(n_min, 2 * 16 * 16 - 1),
+    )
+    np.testing.assert_allclose(float(ours), float(ref), rtol=2e-4)
+
+
+def test_focal_loss_matches_torch():
+    rng = np.random.RandomState(3)
+    logits = rng.normal(size=(1, 8, 8, 5)).astype(np.float32)
+    labels = rng.randint(0, 5, (1, 8, 8)).astype(np.int64)
+    ours = softmax_focal_loss(jnp.asarray(logits), jnp.asarray(labels), gamma=2.0)
+    lt = torch.tensor(np.transpose(logits, (0, 3, 1, 2)))
+    scores = F.softmax(lt, dim=1)
+    factor = torch.pow(1.0 - scores, 2.0)
+    log_score = F.log_softmax(lt, dim=1)
+    ref = F.nll_loss(log_score * factor, torch.tensor(labels))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_warmup_poly_schedule():
+    s = warmup_poly_schedule(lr0=1e-2, warmup_steps=1000, warmup_start_lr=1e-5,
+                             max_iter=80000, power=0.9)
+    assert float(s(0)) == pytest.approx(1e-5, rel=1e-3)
+    assert float(s(999)) == pytest.approx(1e-2, rel=2e-2)  # warmup reaches lr0
+    assert float(s(1000)) == pytest.approx(1e-2 * (1 - 1000 / 80000) ** 0.9, rel=1e-3)
+    assert float(s(40000)) == pytest.approx(1e-2 * 0.5**0.9, rel=1e-3)
+    assert float(s(80000)) == pytest.approx(0.0, abs=1e-8)
+
+
+def test_align_corners_resize_matches_torch():
+    rng = np.random.RandomState(4)
+    x = rng.normal(size=(1, 7, 5, 3)).astype(np.float32)
+    out = resize_bilinear_align_corners(jnp.asarray(x), 28, 20)
+    ref = F.interpolate(
+        torch.tensor(np.transpose(x, (0, 3, 1, 2))), (28, 20),
+        mode="bilinear", align_corners=True,
+    ).numpy()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_bisenet_forward_shapes():
+    net = BiSeNet(n_classes=19, width=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = net.init(jax.random.PRNGKey(0), x)
+    out, out16, out32 = net.apply(vars_, x)
+    assert out.shape == (1, 64, 64, 19)
+    assert out16.shape == (1, 64, 64, 19)
+    assert out32.shape == (1, 64, 64, 19)
+
+
+def test_resnet50_output_shape():
+    net = ResNet50(num_outputs=80, width=8)
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(vars_, x)
+    assert out.shape == (1, 80)
+
+
+def test_train_step_decreases_loss():
+    cfg = TrainConfig(image_size=32, batch_size_per_device=2, width=8,
+                      warmup_steps=2, max_iter=100, lr0=1e-2)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, cfg))
+    data = batch_iterator(SyntheticFaceMask(n=8, size=32), 4, process_index=0,
+                          process_count=1)
+    images, labels = next(data)
+    first = None
+    for i in range(15):
+        state, loss = step(state, jnp.asarray(images), jnp.asarray(labels))
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_sharded_train_step_runs_on_mesh():
+    from jax.sharding import Mesh
+
+    cfg = TrainConfig(image_size=32, batch_size_per_device=1, width=8,
+                      warmup_steps=2, max_iter=100, norm="abn_sync")
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), axis_name="dp")
+    step = make_sharded_train_step(model, cfg, mesh)
+    data = batch_iterator(SyntheticFaceMask(n=16, size=32), 8, process_index=0,
+                          process_count=1)
+    images, labels = next(data)
+    state, loss = step(state, jnp.asarray(images), jnp.asarray(labels))
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_save_restore(tmp_path):
+    cfg = TrainConfig(image_size=32, batch_size_per_device=1, width=8)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = state.replace(step=jnp.int32(7))
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+    _, fresh = create_train_state(cfg, jax.random.PRNGKey(1))
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+    assert int(restored.step) == 7
+    ref = jax.tree.leaves(state.params)[0]
+    got = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got))
+
+
+def test_flip_swaps_paired_labels():
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    lb = np.zeros((8, 8), np.uint8)
+    lb[0, 0] = 2  # l_brow
+    im = Image.new("RGB", (8, 8))
+    im2, lb2 = horizontal_flip(im, Image.fromarray(lb), rng, p=1.1)  # always flip
+    arr = np.array(lb2)
+    assert arr[0, 7] == 3  # became r_brow, mirrored
+
+
+def test_train_transform_crop_size():
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    im = Image.new("RGB", (512, 512))
+    lb = Image.fromarray(np.zeros((512, 512), np.uint8))
+    im2, lb2 = train_transform(im, lb, rng, crop_size=(448, 448))
+    assert im2.size == (448, 448) and lb2.size == (448, 448)
+
+
+def test_merge_part_masks():
+    skin = np.zeros((512, 512), np.uint8)
+    skin[:10] = 225
+    hair = np.zeros((512, 512), np.uint8)
+    hair[20:30] = 225
+    label = merge_part_masks({"skin": skin, "hair": hair})
+    assert label[0, 0] == 1  # skin = class 1
+    assert label[25, 0] == 17  # hair = class 17
+    assert label[100, 0] == 0
