@@ -1,0 +1,83 @@
+"""Quantitative evaluation: PSNR/MSE and the anyGAN attribute metrics.
+
+Rebuild of `src/metrics.py` (whose `lpips()` wrapper is broken by a
+self-shadowing import, `metrics.py:14-27`): `attribute_consistency` (% of the
+40 CelebA attributes whose argmax prediction survives the edit,
+`metrics.py:138-203`) and `avg_increase_decrease_per_attribute` (sorted mean
+per-attribute score deltas, `metrics.py:31-131`). Generation/edit/predict all
+run batched on device; the reference's per-sample Python loop collapses into
+vectorized calls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import ANY_GAN_ATTRS
+
+Array = jax.Array
+
+
+def mse(a: Array, b: Array) -> Array:
+    return jnp.mean((a - b) ** 2, axis=tuple(range(1, a.ndim)))
+
+
+def psnr(a: Array, b: Array, max_val: float = 2.0) -> Array:
+    """PSNR for [-1, 1] images (dynamic range 2.0), per batch element."""
+    m = mse(a, b)
+    return 10.0 * jnp.log10(max_val**2 / jnp.maximum(m, 1e-12))
+
+
+def predict_attributes(predictor_fn: Callable[[Array], Array], imgs: Array) -> Array:
+    """(B, H, W, 3) [-1,1] images -> (B, 40, 2) anyGAN attribute logits."""
+    return predictor_fn(imgs).reshape(imgs.shape[0], 40, 2)
+
+
+def attribute_consistency(
+    original_imgs: Array,
+    edited_imgs: Array,
+    predictor_fn: Callable[[Array], Array],
+    skip_idx: Optional[Sequence[int]] = None,
+) -> Dict[str, float]:
+    """Per-attribute % of samples whose argmax class is unchanged by the edit
+    (`metrics.py:138-203`). `skip_idx`: attributes intentionally edited."""
+    p0 = np.asarray(jnp.argmax(predict_attributes(predictor_fn, original_imgs), -1))
+    p1 = np.asarray(jnp.argmax(predict_attributes(predictor_fn, edited_imgs), -1))
+    out = {}
+    for i, name in enumerate(ANY_GAN_ATTRS):
+        if skip_idx and i in skip_idx:
+            continue
+        out[name] = float((p0[:, i] == p1[:, i]).mean() * 100.0)
+    return out
+
+
+def avg_increase_decrease_per_attribute(
+    original_imgs: Array,
+    edited_imgs: Array,
+    predictor_fn: Callable[[Array], Array],
+) -> List[Tuple[int, str, float]]:
+    """Mean softmax-score delta (edited - original, positive class) per
+    attribute, sorted descending (`metrics.py:31-131`)."""
+    s0 = jax.nn.softmax(predict_attributes(predictor_fn, original_imgs), axis=-1)
+    s1 = jax.nn.softmax(predict_attributes(predictor_fn, edited_imgs), axis=-1)
+    delta = np.asarray(jnp.mean(s1[..., 1] - s0[..., 1], axis=0))  # (40,)
+    order = np.argsort(-delta)
+    return [(int(i), ANY_GAN_ATTRS[int(i)], float(delta[int(i)])) for i in order]
+
+
+def inversion_roundtrip_metrics(
+    x0: Array, recon: Array, lpips_fn: Optional[Callable] = None
+) -> Dict[str, float]:
+    """The BASELINE round-trip quality numbers: PSNR (+LPIPS when weights
+    are available)."""
+    out = {
+        "psnr": float(jnp.mean(psnr(x0, recon))),
+        "mse": float(jnp.mean(mse(x0, recon))),
+    }
+    if lpips_fn is not None:
+        out["lpips"] = float(jnp.mean(lpips_fn(x0, recon)))
+    return out

@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_image_editing_tpu.core import make_schedule
+from diffusion_image_editing_tpu.engine import make_eps_fn
+from diffusion_image_editing_tpu.evals import (
+    LPIPS,
+    attribute_consistency,
+    avg_increase_decrease_per_attribute,
+    inversion_roundtrip_metrics,
+    make_lpips_fn,
+    port_vgg16_lpips,
+    psnr,
+)
+from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+from diffusion_image_editing_tpu.parallel import (
+    guided_edit_sweep,
+    make_mesh,
+    seed_sweep_generate,
+    sweep_attr_func,
+)
+
+STEPS = 4
+
+
+def _setup():
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    return sched, make_eps_fn(model.apply, params)
+
+
+def test_guided_edit_sweep_sharded_over_mesh():
+    sched, eps_fn = _setup()
+    mesh = make_mesh(axis_names=("data",))
+    xt = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    attr = sweep_attr_func(
+        SingleColorAttrFunc(target=1.0, color_idx=0, t1=0, t2=STEPS),
+        loss_scale=np.linspace(0.0, 80.0, 8),
+    )
+    out = guided_edit_sweep(sched, eps_fn, xt, attr, mesh=mesh)
+    assert out.shape == (8, 1, 16, 16, 3)
+    # scale 0 differs from the largest scale; red channel increases with scale
+    red = np.asarray(jnp.mean(out[..., 0], axis=(1, 2, 3)))
+    assert red[-1] > red[0]
+
+
+def test_sweep_matches_individual_edits():
+    from diffusion_image_editing_tpu.engine import edit
+
+    sched, eps_fn = _setup()
+    xt = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    scales = [0.0, 30.0]
+    attr = sweep_attr_func(
+        SingleColorAttrFunc(target=1.0, color_idx=0, t1=0, t2=STEPS),
+        loss_scale=scales,
+    )
+    swept = guided_edit_sweep(sched, eps_fn, xt, attr)
+    for i, s in enumerate(scales):
+        single = edit(
+            sched, eps_fn, xt, eta=0.0,
+            attr_func=SingleColorAttrFunc(target=1.0, color_idx=0, t1=0, t2=STEPS,
+                                          loss_scale=s),
+        ).x0
+        np.testing.assert_allclose(
+            np.asarray(swept[i]), np.asarray(single), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_seed_sweep_generate():
+    sched, eps_fn = _setup()
+    mesh = make_mesh(axis_names=("data",))
+    out = seed_sweep_generate(sched, eps_fn, (1, 16, 16, 3), seeds=list(range(8)),
+                              mesh=mesh)
+    assert out.shape == (8, 1, 16, 16, 3)
+    assert float(jnp.std(out[0] - out[1])) > 1e-3  # different seeds differ
+
+
+def test_psnr_basics():
+    a = jnp.zeros((1, 8, 8, 3))
+    assert float(psnr(a, a)[0]) > 100
+    b = a + 0.2
+    assert 10 < float(psnr(a, b)[0]) < 40
+
+
+def test_lpips_is_a_distance():
+    lp = LPIPS(width_mult=0.125)
+    a = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3)) * 0.5
+    b = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 0.5
+    params = lp.init(jax.random.PRNGKey(2), a, b)
+    d_aa = float(lp.apply(params, a, a)[0])
+    d_ab = float(lp.apply(params, a, b)[0])
+    assert d_aa < 1e-6
+    assert d_ab > d_aa
+
+
+def test_lpips_port_shapes():
+    # synthetic torchvision vgg16 state dict
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+    sd = {}
+    pos, in_c = 0, 3
+    for v in cfg:
+        if v == "M":
+            pos += 1
+        else:
+            sd[f"features.{pos}.weight"] = np.zeros((v, in_c, 3, 3), np.float32)
+            sd[f"features.{pos}.bias"] = np.zeros((v,), np.float32)
+            in_c = v
+            pos += 2
+    lins = {f"lin{i}.model.1.weight": np.ones((1, c, 1, 1), np.float32)
+            for i, c in enumerate([64, 128, 256, 512, 512])}
+    params = port_vgg16_lpips(sd, lins)
+    lp = LPIPS()
+    a = jnp.zeros((1, 64, 64, 3))
+    out = lp.apply(jax.tree.map(jnp.asarray, params), a, a)
+    assert out.shape == (1,)
+
+
+def test_lpips_as_guidance_metric():
+    lp = LPIPS(width_mult=0.125)
+    a = jnp.zeros((1, 32, 32, 3))
+    params = lp.init(jax.random.PRNGKey(0), a, a)
+    fn = make_lpips_fn(params, width_mult=0.125)
+    g = jax.grad(lambda x: jnp.sum(fn(x, a)))(a + 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_attribute_metrics():
+    def predictor_fn(imgs):
+        # fake anyGAN: logits derived from channel means, deterministic
+        m = jnp.mean(imgs, axis=(1, 2))  # (B, 3)
+        base = jnp.tile(m, (1, 40))[:, :80]
+        return base
+
+    imgs0 = jnp.zeros((4, 8, 8, 3))
+    imgs1 = imgs0 + 0.5
+    cons = attribute_consistency(imgs0, imgs1, predictor_fn)
+    assert len(cons) == 40
+    assert all(0 <= v <= 100 for v in cons.values())
+    deltas = avg_increase_decrease_per_attribute(imgs0, imgs1, predictor_fn)
+    assert len(deltas) == 40
+    assert deltas[0][2] >= deltas[-1][2]  # sorted descending
+
+
+def test_inversion_roundtrip_metrics():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3))
+    out = inversion_roundtrip_metrics(x, x + 0.01)
+    assert out["psnr"] > 30 and out["mse"] < 1e-3
