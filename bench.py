@@ -1,0 +1,119 @@
+"""Headline benchmark: denoise steps/sec/chip for the SD-1.5 512px guided edit.
+
+Runs the real workload (BASELINE.json): the full 50-step guided-edit scan on
+the SD-1.5 architecture — per step: batched-2 CFG UNet forward at 64x64x4
+latents (512 px) + DDIM update + colour-guidance gradient through the full SD
+VAE decoder — on one TPU chip in bfloat16. Weight values don't affect timing,
+so the model is architecture-exact random init (HF weights are not
+downloadable in this environment; `models/port.py` loads them when present).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target — 50-step inversion+edit < 2 s on a v5e-8 — implies 25 steps/s on 8
+chips ~= 3.125 steps/s/chip, used as the comparison denominator.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC_PER_CHIP = 3.125
+STEPS = 50
+
+
+def build_edit_scan(tiny: bool):
+    from diffusion_image_editing_tpu.core import schedule_for_model
+    from diffusion_image_editing_tpu.engine import edit, make_cfg_eps_fn
+    from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+    from diffusion_image_editing_tpu.models import (
+        SD15_UNET,
+        SD_VAE,
+        AutoencoderConfig,
+        AutoencoderKL,
+        UNet2DCondition,
+        UNet2DConditionConfig,
+    )
+
+    dtype = jnp.bfloat16
+    if tiny:
+        ucfg = UNet2DConditionConfig(
+            sample_size=8, block_out_channels=(32, 64),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1, attention_head_dim=2, cross_attention_dim=32,
+            norm_num_groups=8,
+        )
+        vcfg = AutoencoderConfig(
+            latent_channels=4, block_out_channels=(16, 16, 32), layers_per_block=1,
+            norm_num_groups=8, sample_size=32,
+        )
+        lat = (1, 8, 8, 4)
+        ctx_dim = 32
+    else:
+        ucfg, vcfg = SD15_UNET, SD_VAE
+        lat = (1, 64, 64, 4)
+        ctx_dim = 768
+
+    sched = schedule_for_model("sd", num_inference_steps=STEPS)
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+
+    k = jax.random.PRNGKey(0)
+    with jax.default_matmul_precision("bfloat16"):
+        uparams = jax.jit(unet.init)(
+            k, jnp.zeros(lat, dtype), jnp.int32(0), jnp.zeros((1, 77, ctx_dim), dtype)
+        )
+        vparams = jax.jit(vae.init)(jax.random.fold_in(k, 1), jnp.zeros((1, vcfg.sample_size, vcfg.sample_size, 3), dtype))
+
+    text_emb = jax.random.normal(jax.random.fold_in(k, 2), (2, 77, ctx_dim), dtype)
+    eps_fn = make_cfg_eps_fn(unet.apply, uparams, text_emb, cfg_scale=3.5)
+
+    def decode_fn(z):
+        return vae.apply(vparams, z.astype(dtype) / 0.18215, method="decode")
+
+    attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS)
+
+    def run(xt):
+        return edit(
+            sched, eps_fn, xt, eta=0.0, attr_func=attr, decode_fn=decode_fn,
+        ).x0
+
+    xt = jax.random.normal(jax.random.fold_in(k, 3), lat, jnp.float32)
+    return jax.jit(run), xt
+
+
+def main():
+    backend = jax.default_backend()
+    tiny = backend == "cpu"
+    run, xt = build_edit_scan(tiny)
+
+    out = run(xt)  # compile + first run
+    out.block_until_ready()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(xt)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / reps
+
+    steps_per_sec = STEPS / elapsed
+    result = {
+        "metric": "denoise steps/sec/chip (SD-1.5 512px guided edit, CFG + VAE-grad guidance)"
+        + (" [TINY CPU FALLBACK]" if tiny else ""),
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
