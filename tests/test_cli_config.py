@@ -1,0 +1,67 @@
+import numpy as np
+from PIL import Image
+
+from diffusion_image_editing_tpu.utils.config import EditConfig, ModelSpec, from_json, to_json
+from diffusion_image_editing_tpu.utils.logging import StepTimer, setup_logger
+
+
+def test_config_json_roundtrip():
+    cfg = EditConfig(eta=1.0, classes=(17,), attr_func="SingleColorAttrFunc")
+    text = to_json(cfg)
+    back = from_json(EditConfig, text)
+    assert back == cfg
+
+
+def test_model_spec_defaults():
+    spec = ModelSpec()
+    assert spec.family == "ddpm" and spec.sample_clipping
+
+
+def test_setup_logger(tmp_path):
+    logger = setup_logger(str(tmp_path))
+    logger.info("hello")
+    assert (tmp_path / "die_tpu.log").exists()
+
+
+def test_step_timer():
+    t = StepTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+
+
+def test_cli_seg_eval_smoke(tmp_path):
+    from diffusion_image_editing_tpu.cli import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 64), (128, 64, 32)).save(img_dir / "a.png")
+    out_dir = tmp_path / "vis"
+    main(["seg-eval", "--image-dir", str(img_dir), "--out-dir", str(out_dir),
+          "--width", "8"])
+    assert (out_dir / "a.png").exists()
+
+
+def test_seg_metrics_and_vis():
+    from diffusion_image_editing_tpu.seg.evaluate import (
+        recolor_part,
+        segmentation_metrics,
+        vis_parsing_maps,
+    )
+
+    rng = np.random.RandomState(0)
+    pred = rng.randint(0, 4, (32, 32))
+    perfect = segmentation_metrics(pred, pred, n_classes=4)
+    assert perfect["miou"] == 1.0 and perfect["pixel_acc"] == 1.0
+
+    img = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    vis = vis_parsing_maps(img, pred)
+    assert vis.shape == (32, 32, 3)
+
+    recolored = recolor_part(img, pred, part=2, color=(255, 0, 0))
+    changed = recolored != img
+    assert changed[pred == 2].any()
+    assert not changed[pred != 2].any()
