@@ -6,4 +6,5 @@ from .metrics import (  # noqa: F401
     mse,
     predict_attributes,
     psnr,
+    run_attribute_evaluation,
 )

@@ -81,3 +81,37 @@ def inversion_roundtrip_metrics(
     if lpips_fn is not None:
         out["lpips"] = float(jnp.mean(lpips_fn(x0, recon)))
     return out
+
+
+def run_attribute_evaluation(
+    wrapper,
+    pipeline,
+    predictor_fn: Callable[[Array], Array],
+    attr_func,
+    n_samples: int = 16,
+    num_inference_steps: int = 50,
+    eta: float = 0.0,
+    seed: int = 0,
+    skip_idx: Optional[Sequence[int]] = None,
+):
+    """End-to-end attribute evaluation (reference `metrics.py:212-266` CLI
+    flow): batched generate -> guided edit -> anyGAN predictions on both ->
+    consistency % and sorted score deltas. One device program per phase
+    instead of the reference's per-sample loop."""
+    imgs, traj, xt, zs = wrapper.generate_images(
+        num_images=n_samples, eta=eta, num_inference_steps=num_inference_steps,
+        seed=seed,
+    )
+    out = pipeline.edit_image(
+        xt, eta=eta, zs=zs, attr_func=attr_func, collect=False,
+        key=jax.random.PRNGKey(seed),
+    )
+    edited = out.imgs
+    return {
+        "attribute_consistency": attribute_consistency(
+            imgs, edited, predictor_fn, skip_idx
+        ),
+        "score_deltas": avg_increase_decrease_per_attribute(
+            imgs, edited, predictor_fn
+        ),
+    }

@@ -14,3 +14,4 @@ from .vae import (  # noqa: F401
 from .clip_text import CLIPTextConfig, CLIPTextEncoder, CLIP_VIT_L_14_TEXT, TINY_CLIP_TEXT  # noqa: F401
 from .bisenet import BiSeNet, SegmentationModel, resize_bilinear_align_corners  # noqa: F401
 from .resnet import ResNet50, Resnet18Features  # noqa: F401
+from .extra_blocks import DeeplabV3Head, DenseModule, GlobalAvgPool2d, IdentityResidualBlock  # noqa: F401

@@ -10,3 +10,4 @@ from .resize import (  # noqa: F401
     to_symmetric_range,
     to_unit_range,
 )
+from .morphology import Dilation2D, Erosion2D, Morphology2D  # noqa: F401

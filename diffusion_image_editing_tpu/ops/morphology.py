@@ -100,3 +100,41 @@ def morphology2d(
     if op == "erosion2d":
         out = -out
     return out  # (N, H, W, O)
+
+
+# ---------------------------------------------------------------------------
+# Learnable morphology as a Flax layer (`src/Morphology.py:10-102` parity:
+# trainable per-offset weights, soft-max relaxation option)
+# ---------------------------------------------------------------------------
+
+from flax import linen as nn  # noqa: E402
+
+
+class Morphology2D(nn.Module):
+    """Trainable morphological layer (zero-init weights == flat morphology)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 5
+    soft_max: bool = True
+    beta: float = 15.0
+    op: str = "dilation2d"  # or "erosion2d"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        weight = self.param(
+            "weight",
+            nn.initializers.zeros,
+            (self.out_channels, self.in_channels, self.kernel_size, self.kernel_size),
+        )
+        return morphology2d(
+            x, weight, self.kernel_size, self.op, self.soft_max, self.beta
+        )
+
+
+class Dilation2D(Morphology2D):
+    op: str = "dilation2d"
+
+
+class Erosion2D(Morphology2D):
+    op: str = "erosion2d"

@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_image_editing_tpu.models import (
+    DeeplabV3Head,
+    DenseModule,
+    GlobalAvgPool2d,
+    IdentityResidualBlock,
+)
+from diffusion_image_editing_tpu.ops import Dilation2D, Morphology2D, dilate
+
+
+def test_deeplab_head_shapes():
+    m = DeeplabV3Head(hidden_channels=16, out_channels=16, num_classes=5,
+                      dilations=(2, 4, 6))
+    x = jnp.zeros((1, 16, 16, 8))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (1, 16, 16, 5)
+
+
+def test_identity_residual_block():
+    for channels, stride in [((8, 8), 1), ((8, 16, 32), 2)]:
+        m = IdentityResidualBlock(channels=channels, stride=stride)
+        x = jnp.ones((1, 8, 8, 8))
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vars_, x)
+        assert out.shape[-1] == channels[-1]
+        assert out.shape[1] == 8 // stride
+
+
+def test_dense_module_growth():
+    m = DenseModule(growth=4, layers=3)
+    x = jnp.zeros((1, 8, 8, 8))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape[-1] == 8 + 3 * 4
+
+
+def test_global_avg_pool():
+    m = GlobalAvgPool2d()
+    x = jnp.ones((2, 4, 4, 3)) * 2.0
+    out = m.apply({}, x)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_morphology2d_module_zero_weights_is_flat_dilation():
+    m = Dilation2D(in_channels=1, out_channels=1, kernel_size=5, soft_max=False)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 12, 12, 1))
+    vars_ = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(vars_, x)
+    ref = dilate(x, 5)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 2:-2, 2:-2], np.asarray(ref)[:, 2:-2, 2:-2], rtol=1e-6
+    )
+
+
+def test_morphology2d_weights_trainable():
+    m = Morphology2D(in_channels=1, out_channels=2, kernel_size=3, soft_max=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 1))
+    vars_ = m.init(jax.random.PRNGKey(1), x)
+    g = jax.grad(lambda v: jnp.sum(m.apply(v, x)))(vars_)
+    assert float(jnp.max(jnp.abs(g["params"]["weight"]))) > 0
+
+
+def test_run_attribute_evaluation():
+    from diffusion_image_editing_tpu.core import make_schedule
+    from diffusion_image_editing_tpu.evals.metrics import run_attribute_evaluation
+    from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+    from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+    from diffusion_image_editing_tpu.pipeline import DDPM, EditPipeline
+
+    sched = make_schedule(num_inference_steps=3, clip_sample=True)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    w = DDPM(model, params, sched)
+    pipe = EditPipeline(w, None)
+
+    def predictor_fn(imgs):
+        m = jnp.mean(imgs, axis=(1, 2))
+        return jnp.tile(m, (1, 27))[:, :80]
+
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=10.0, t1=0, t2=3)
+    out = run_attribute_evaluation(
+        w, pipe, predictor_fn, attr, n_samples=2, num_inference_steps=3
+    )
+    assert len(out["attribute_consistency"]) == 40
+    assert len(out["score_deltas"]) == 40
