@@ -84,27 +84,34 @@ def build_edit_step(tiny: bool):
 
     attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS)
 
-    def step(xt, t, idx):
+    # Two jits instead of one fused program: the combined UNet+VAE-grad HLO is
+    # large enough to destabilize this environment's remote-compile tunnel;
+    # split programs compile in ~1-3 min each and steady-state cost is the sum.
+    def denoise_step(xt, t):
         eps = jax.lax.stop_gradient(eps_fn(xt, t))
         x_new, _ = ddim_step(sched, xt, eps, t, eta=0.0)
-        x_new, _ = attr.apply(x_new, None, eps, t, idx, sched, decode_fn)
+        return x_new, eps
+
+    def guidance_nudge(xt, eps, t, idx):
+        x_new, _ = attr.apply(xt, None, eps, t, idx, sched, decode_fn)
         return x_new
 
     xt = jax.random.normal(jax.random.fold_in(k, 3), lat, jnp.float32)
-    return jax.jit(step), xt, sched
+    return jax.jit(denoise_step), jax.jit(guidance_nudge), xt, sched
 
 
 def main():
     backend = jax.default_backend()
     tiny = backend == "cpu"
-    step, xt, sched = build_edit_step(tiny)
+    denoise_step, guidance_nudge, xt, sched = build_edit_step(tiny)
     import numpy as np
 
     timesteps = np.asarray(sched.timesteps)
 
     def run_pass(x):
         for i, t in enumerate(timesteps):
-            x = step(x, jnp.int32(t), jnp.int32(i))
+            x, eps = denoise_step(x, jnp.int32(t))
+            x = guidance_nudge(x, eps, jnp.int32(t), jnp.int32(i))
         return x
 
     run_pass(xt).block_until_ready()  # compile + warm the dispatch path

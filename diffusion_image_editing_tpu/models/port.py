@@ -409,3 +409,108 @@ def load_checkpoint_dir(model_dir: str, kind: str):
             params,
         )
     raise ValueError(f"Unknown kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# torchvision-style checkpoints: BiSeNet face-parsing + anyGAN ResNet-50
+# (`src/models.py:57-118` loads these with torch.load)
+# ---------------------------------------------------------------------------
+
+
+def _tv_path_to_flax(parts):
+    """Map torch module-path components to our flax module names:
+    layer1.0 -> layer1_0, downsample.0/1 -> downsample_conv/downsample_bn,
+    BatchNorm wrappers live under NormAct name='bnX' -> bnX/bn."""
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if re.match(r"layer\d+$", p) and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+        elif p == "downsample" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append("downsample_conv" if parts[i + 1] == "0" else "downsample_bn")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return out
+
+
+def port_torchvision_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    strict: bool = True,
+    skip_prefixes: Tuple[str, ...] = (),
+) -> Dict[str, Any]:
+    """Generic torch->flax port for conv/bn/linear module trees (covers the
+    BiSeNet face-parsing checkpoint and torchvision ResNet-50). Returns
+    {'params': ..., 'batch_stats': ...}; BatchNorm modules land under a 'bn'
+    subtree (our NormAct wrapper)."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    unused = []
+    bn_suffix = {"weight": ("params", "scale"), "bias": ("params", "bias"),
+                 "running_mean": ("batch_stats", "mean"),
+                 "running_var": ("batch_stats", "var")}
+    # group keys by module path to detect BatchNorm modules (have running_mean)
+    modules: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, w in state_dict.items():
+        if any(key.startswith(p) for p in skip_prefixes):
+            continue
+        if key.endswith("num_batches_tracked"):
+            continue
+        mod, leaf = key.rsplit(".", 1)
+        modules.setdefault(mod, {})[leaf] = np.asarray(w)
+
+    for mod, leaves in modules.items():
+        path = _tv_path_to_flax(mod.split("."))
+        if "running_mean" in leaves:  # BatchNorm module -> NormAct('...')/bn
+            for leaf, w in leaves.items():
+                coll, name = bn_suffix[leaf]
+                tree = params if coll == "params" else batch_stats
+                _set(tree, tuple(path) + ("bn", name), w)
+        elif "weight" in leaves and leaves["weight"].ndim == 4:  # Conv
+            _set(params, tuple(path) + ("kernel",), _conv(leaves["weight"]))
+            if "bias" in leaves:
+                _set(params, tuple(path) + ("bias",), leaves["bias"])
+        elif "weight" in leaves and leaves["weight"].ndim == 2:  # Linear
+            _set(params, tuple(path) + ("kernel",), _linear(leaves["weight"]))
+            if "bias" in leaves:
+                _set(params, tuple(path) + ("bias",), leaves["bias"])
+        elif "weight" in leaves and leaves["weight"].ndim == 1:
+            # affine-only norm (no running stats in this checkpoint)
+            _set(params, tuple(path) + ("scale",), leaves["weight"])
+            if "bias" in leaves:
+                _set(params, tuple(path) + ("bias",), leaves["bias"])
+        else:
+            unused.append(mod)
+    if strict and unused:
+        raise ValueError(f"Unmapped torch modules: {unused[:10]}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_bisenet_checkpoint(path: str) -> Dict[str, Any]:
+    """Port the face-parsing BiSeNet checkpoint (`79999_iter.pth`,
+    src/models.py:83) into our BiSeNet(norm='bn') variables."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v.numpy()
+          for k, v in sd.items()}
+    return port_torchvision_state_dict(sd)
+
+
+def load_anygan_checkpoint(path: str) -> Dict[str, Any]:
+    """Port the MIT anycost-gan attribute predictor (torchvision ResNet-50
+    with fc->80, `src/models.py:57-77`) into our ResNet50 variables."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items()}
+    # torchvision top-level bn1 is a bare module (not inside NormAct naming);
+    # our ResNet50 names it bn1/bn via NormAct, which the generic port handles.
+    return port_torchvision_state_dict(sd)

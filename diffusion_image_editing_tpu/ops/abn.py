@@ -154,10 +154,9 @@ def _abn_apply(
 
 
 def _supports_pallas() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    from .flags import supports_pallas
+
+    return supports_pallas()
 
 
 # ---------------------------------------------------------------------------

@@ -56,8 +56,8 @@ def attention_reference(
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     """One (batch*head, q-block) program: online-softmax over k blocks.
 
-    q_ref: (block_q, D) — pre-scaled by caller spec? No: scaled here.
-    k_ref/v_ref: (S, D) — full K/V for this head resident in VMEM.
+    q_ref: (1, block_q, D); k_ref/v_ref: (1, S, D) — the full K/V for this
+    head resident in VMEM. Scaling is applied to q inside the kernel.
     """
     q = q_ref[0].astype(jnp.float32) * scale
     s_k = k_ref.shape[1]
@@ -139,10 +139,9 @@ class _FallbackToReference(Exception):
 
 
 def _supports_pallas() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    from .flags import supports_pallas
+
+    return supports_pallas()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

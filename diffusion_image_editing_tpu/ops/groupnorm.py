@@ -164,10 +164,9 @@ def group_norm_pallas(
 
 
 def _supports_pallas() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    from .flags import supports_pallas
+
+    return supports_pallas()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
