@@ -19,83 +19,12 @@ import sys
 
 
 def _build_wrapper(family: str, ckpt_dir, steps: int, clip_sample):
-    import jax
-    import jax.numpy as jnp
+    from .pipeline.factory import create_diffusion_model
 
-    from .core import schedule_for_model
-    from .models import (
-        DDPM_CELEBAHQ_256,
-        LDM_CELEBAHQ_VQVAE,
-        LDM_CELEBAHQ_256_UNET,
-        SD15_UNET,
-        SD_VAE,
-        AutoencoderKL,
-        CLIPTextEncoder,
-        CLIP_VIT_L_14_TEXT,
-        UNet2D,
-        UNet2DCondition,
-        VQModel,
+    return create_diffusion_model(
+        family, sample_clipping=bool(clip_sample), checkpoint_dir=ckpt_dir,
+        num_inference_steps=steps,
     )
-    from .pipeline import DDPM, LDM, SD
-
-    sched = schedule_for_model(family, steps, clip_sample)
-
-    def load(kind, subdir, default_cfg):
-        from .models.port import load_checkpoint_dir
-
-        if ckpt_dir is None:
-            return default_cfg, None
-        import os
-
-        return load_checkpoint_dir(os.path.join(ckpt_dir, subdir), kind)
-
-    key = jax.random.PRNGKey(0)
-    if family == "ddpm":
-        cfg, params = load("unet2d", "unet", DDPM_CELEBAHQ_256)
-        model = UNet2D(cfg)
-        if params is None:
-            print("WARNING: random-init weights (no --checkpoint-dir)", file=sys.stderr)
-            d = cfg.sample_size
-            params = model.init(key, jnp.zeros((1, d, d, cfg.in_channels)), jnp.int32(0))
-        return DDPM(model, params, sched)
-    if family == "ldm":
-        ucfg, uparams = load("unet2d", "unet", LDM_CELEBAHQ_256_UNET)
-        vcfg, vparams = load("vq", "vqvae", LDM_CELEBAHQ_VQVAE)
-        unet = UNet2D(ucfg)
-        vq = VQModel(vcfg)
-        if uparams is None:
-            print("WARNING: random-init weights", file=sys.stderr)
-            d = ucfg.sample_size
-            uparams = unet.init(key, jnp.zeros((1, d, d, ucfg.in_channels)), jnp.int32(0))
-            vparams = vq.init(key, jnp.zeros((1, vcfg.sample_size, vcfg.sample_size, 3)))
-        return LDM(unet, uparams, sched, vq, vparams)
-    if family == "sd":
-        ucfg, uparams = load("unet2d_cond", "unet", SD15_UNET)
-        vcfg, vparams = load("vae", "vae", SD_VAE)
-        tcfg, tparams = load("clip_text", "text_encoder", CLIP_VIT_L_14_TEXT)
-        unet = UNet2DCondition(ucfg)
-        vae = AutoencoderKL(vcfg)
-        text = CLIPTextEncoder(tcfg)
-        tokenizer = None
-        if ckpt_dir is not None:
-            import os
-
-            from .host.tokenizer import CLIPTokenizer
-
-            tok_dir = os.path.join(ckpt_dir, "tokenizer")
-            if os.path.isdir(tok_dir):
-                tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
-        if uparams is None:
-            print("WARNING: random-init weights", file=sys.stderr)
-            d = ucfg.sample_size
-            uparams = unet.init(
-                key, jnp.zeros((1, d, d, 4)), jnp.int32(0),
-                jnp.zeros((1, 77, ucfg.cross_attention_dim)),
-            )
-            vparams = vae.init(key, jnp.zeros((1, 64, 64, 3)))
-            tparams = text.init(key, jnp.zeros((1, 77), jnp.int32))
-        return SD(unet, uparams, sched, vae, vparams, text, tparams, tokenizer)
-    raise ValueError(f"Unknown family {family!r}")
 
 
 def cmd_generate(args):
