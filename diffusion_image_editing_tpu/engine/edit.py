@@ -80,3 +80,65 @@ def edit(
     if collect:
         return EditResult(x_final, xts=ys[0], model_outputs=ys[1], pred_original_samples=ys[2])
     return EditResult(x_final)
+
+
+def edit_split(
+    sched: S.Schedule,
+    eps_fn: EpsFn,
+    xt: Array,
+    eta: float = 0.0,
+    zs: Optional[Array] = None,
+    attr_func: Optional[AttrFunc] = None,
+    decode_fn: Optional[DecodeFn] = None,
+    mask: Optional[Array] = None,
+    x0_ref: Optional[Array] = None,
+    step_rule: str = "ddim",
+    collect: bool = False,
+) -> EditResult:
+    """`edit` with the scan unrolled into a host loop over two small jitted
+    programs (denoise step / guidance nudge).
+
+    Identical math to `edit`; trades per-step dispatch overhead for a much
+    smaller compiled-program size. Useful when the fused UNet+VAE-grad scan
+    is too large for the compile service (e.g. remote-compile TPU tunnels)
+    or when compile latency matters more than the last few ms/step.
+    """
+    if eta > 0 and zs is None:
+        raise ValueError("eta > 0 requires zs")
+    n = zs.shape[0] if zs is not None else sched.num_inference_steps
+    timesteps = sched.timesteps[-n:]
+    step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
+    if decode_fn is None:
+        decode_fn = lambda x: x  # noqa: E731
+
+    @jax.jit
+    def denoise_step(x, t, z):
+        eps = jax.lax.stop_gradient(eps_fn(x, t))
+        x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
+        return x_new, eps, px0
+
+    @jax.jit
+    def guidance_step(af, x, z, eps, t, idx):
+        return af.apply(x, z, eps, t, idx, sched, decode_fn, mask=mask, x0=x0_ref)
+
+    import numpy as np
+
+    x = xt
+    xts_out, eps_out, px0_out = [], [], []
+    ts_host = np.asarray(timesteps)
+    zs_in = zs if zs is not None else [None] * n
+    for i, t in enumerate(ts_host):
+        z = zs_in[i] if zs is not None else jnp.zeros_like(x)
+        x, eps, px0 = denoise_step(x, jnp.int32(t), z)
+        if attr_func is not None:
+            x, z = guidance_step(attr_func, x, z, eps, jnp.int32(t), jnp.int32(i))
+        if collect:
+            xts_out.append(x)
+            eps_out.append(eps)
+            px0_out.append(px0)
+    if collect:
+        return EditResult(
+            x, xts=jnp.stack(xts_out), model_outputs=jnp.stack(eps_out),
+            pred_original_samples=jnp.stack(px0_out),
+        )
+    return EditResult(x)

@@ -177,3 +177,22 @@ def test_edit_jit_with_attr_func_arg():
     a1 = run(SingleColorAttrFunc(target=1.0, loss_scale=10.0, t2=STEPS), xt)
     a2 = run(SingleColorAttrFunc(target=1.0, loss_scale=20.0, t2=STEPS), xt)  # no retrace
     assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+
+def test_edit_split_matches_fused():
+    from diffusion_image_editing_tpu.engine import edit_split
+
+    sched, eps_fn = _setup()
+    key = jax.random.PRNGKey(20)
+    xt = jax.random.normal(key, (1, 16, 16, 3))
+    zs = jax.random.normal(jax.random.fold_in(key, 1), (STEPS, 1, 16, 16, 3))
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=20.0, t1=1, t2=7)
+    fused = edit(sched, eps_fn, xt, eta=1.0, zs=zs, attr_func=attr, collect=True)
+    split = edit_split(sched, eps_fn, xt, eta=1.0, zs=zs, attr_func=attr, collect=True)
+    np.testing.assert_allclose(
+        np.asarray(split.x0), np.asarray(fused.x0), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(split.model_outputs), np.asarray(fused.model_outputs),
+        rtol=1e-3, atol=1e-3,
+    )
