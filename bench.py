@@ -79,39 +79,45 @@ def build_edit_step(tiny: bool):
     text_emb = jax.random.normal(jax.random.fold_in(k, 2), (2, 77, ctx_dim), dtype)
     eps_fn = make_cfg_eps_fn(unet.apply, uparams, text_emb, cfg_scale=3.5)
 
-    def decode_fn(z):
-        return vae.apply(vparams, z.astype(dtype) / 0.18215, method="decode")
+    from diffusion_image_editing_tpu.pipeline.wrappers import DecodeClosure
+
+    vae_apply = vae.apply
+    decode_fn = DecodeClosure(
+        lambda p, z: vae_apply(p, z.astype(dtype), method="decode"), vparams,
+        scale=0.18215,
+    )
 
     attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS)
 
-    # Two jits instead of one fused program: the combined UNet+VAE-grad HLO is
-    # large enough to destabilize this environment's remote-compile tunnel;
-    # split programs compile in ~1-3 min each and steady-state cost is the sum.
-    def denoise_step(xt, t):
-        eps = jax.lax.stop_gradient(eps_fn(xt, t))
+    # Two jits instead of one fused program (the combined UNet+VAE-grad HLO
+    # destabilizes this environment's remote-compile tunnel). The denoiser
+    # and codec are pytree callables passed as jit ARGUMENTS — weights are
+    # traced inputs, never HLO constants.
+    def denoise_step(eps_fn_, xt, t):
+        eps = jax.lax.stop_gradient(eps_fn_(xt, t))
         x_new, _ = ddim_step(sched, xt, eps, t, eta=0.0)
         return x_new, eps
 
-    def guidance_nudge(xt, eps, t, idx):
-        x_new, _ = attr.apply(xt, None, eps, t, idx, sched, decode_fn)
+    def guidance_nudge(dec_fn_, xt, eps, t, idx):
+        x_new, _ = attr.apply(xt, None, eps, t, idx, sched, dec_fn_)
         return x_new
 
     xt = jax.random.normal(jax.random.fold_in(k, 3), lat, jnp.float32)
-    return jax.jit(denoise_step), jax.jit(guidance_nudge), xt, sched
+    return jax.jit(denoise_step), jax.jit(guidance_nudge), eps_fn, decode_fn, xt, sched
 
 
 def main():
     backend = jax.default_backend()
     tiny = backend == "cpu"
-    denoise_step, guidance_nudge, xt, sched = build_edit_step(tiny)
+    denoise_step, guidance_nudge, eps_fn, decode_fn, xt, sched = build_edit_step(tiny)
     import numpy as np
 
     timesteps = np.asarray(sched.timesteps)
 
     def run_pass(x):
         for i, t in enumerate(timesteps):
-            x, eps = denoise_step(x, jnp.int32(t))
-            x = guidance_nudge(x, eps, jnp.int32(t), jnp.int32(i))
+            x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+            x = guidance_nudge(decode_fn, x, eps, jnp.int32(t), jnp.int32(i))
         return x
 
     run_pass(xt).block_until_ready()  # compile + warm the dispatch path

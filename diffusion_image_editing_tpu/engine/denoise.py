@@ -9,10 +9,11 @@ trajectory runs on-device with no host round-trips. Trajectory outputs
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..core import schedule as S
 
@@ -20,13 +21,72 @@ Array = jax.Array
 EpsFn = Callable[[Array, Array], Array]  # (x_t NHWC, t int32) -> eps
 
 
+class EpsClosure(struct.PyTreeNode):
+    """Unconditional denoiser as a *pytree callable*: eps = unet(x, t).
+
+    Being a pytree (params are leaves, apply_fn is static) it crosses
+    jit/scan/vmap boundaries as an argument, so multi-GB weights are traced
+    inputs rather than constants baked into the HLO — closing a plain Python
+    closure over params would embed them as literals (multi-GB programs that
+    crush the compiler)."""
+
+    apply_fn: Callable = struct.field(pytree_node=False)
+    params: Any = None
+
+    def __call__(self, x: Array, t: Array) -> Array:
+        return self.apply_fn(self.params, x, t)
+
+
+class CfgEpsClosure(struct.PyTreeNode):
+    """Classifier-free-guidance denoiser (pytree callable).
+
+    `text_emb` is [uncond; cond] stacked on the batch axis, (2, L, D) — the
+    normalized ordering (the reference mixes [uncond,cond] and [cond,uncond]
+    between `prep_text` and `ddim_inversion`; see SURVEY.md §3.3). The two
+    UNet evaluations run as one batched-2 call to keep the MXU fed
+    (`src/diffusion_utils.py:55-73` semantics)."""
+
+    apply_fn: Callable = struct.field(pytree_node=False)
+    params: Any = None
+    text_emb: Array = None
+    cfg_scale: Array = 3.5
+
+    def __call__(self, x: Array, t: Array) -> Array:
+        b = x.shape[0]
+        latents = jnp.concatenate([x, x], axis=0)
+        ctx = jnp.repeat(self.text_emb, b, axis=0)  # (2B, L, D) uncond-first
+        eps = self.apply_fn(self.params, latents, t, ctx)
+        eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+        return eps_uncond + self.cfg_scale * (eps_text - eps_uncond)
+
+
+class DecodeClosure(struct.PyTreeNode):
+    """Latent->image codec as a pytree callable (VAE weights are traced jit
+    inputs). `apply_fn is None` means the identity codec (DDPM pixel space)."""
+
+    apply_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    params: Any = None
+    scale: Any = 1.0  # latent is divided by this before decoding (SD 0.18215)
+
+    def __call__(self, z: Array) -> Array:
+        if self.apply_fn is None:
+            return z
+        return self.apply_fn(self.params, z / self.scale)
+
+
+class EncodeClosure(struct.PyTreeNode):
+    apply_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    params: Any = None
+    scale: Any = 1.0  # latent multiplied by this after encoding
+
+    def __call__(self, x: Array) -> Array:
+        if self.apply_fn is None:
+            return x
+        return self.apply_fn(self.params, x) * self.scale
+
+
 def make_eps_fn(apply_fn: Callable, params) -> EpsFn:
-    """Unconditional denoiser: eps = unet(x, t)."""
-
-    def eps_fn(x, t):
-        return apply_fn(params, x, t)
-
-    return eps_fn
+    return EpsClosure(apply_fn, params)
 
 
 def make_cfg_eps_fn(
@@ -35,24 +95,7 @@ def make_cfg_eps_fn(
     text_emb: Array,
     cfg_scale: float = 3.5,
 ) -> EpsFn:
-    """Classifier-free-guidance denoiser.
-
-    `text_emb` is [uncond; cond] stacked on the batch axis, (2, L, D) — the
-    normalized ordering (the reference mixes [uncond,cond] and [cond,uncond]
-    between `prep_text` and `ddim_inversion`; see SURVEY.md §3.3). The two
-    UNet evaluations run as one batched-2 call to keep the MXU fed
-    (`src/diffusion_utils.py:55-73` semantics).
-    """
-
-    def eps_fn(x, t):
-        b = x.shape[0]
-        latents = jnp.concatenate([x, x], axis=0)
-        ctx = jnp.repeat(text_emb, b, axis=0)  # (2B, L, D) uncond-first
-        eps = apply_fn(params, latents, t, ctx)
-        eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
-        return eps_uncond + cfg_scale * (eps_text - eps_uncond)
-
-    return eps_fn
+    return CfgEpsClosure(apply_fn, params, text_emb, cfg_scale)
 
 
 class Trajectory(NamedTuple):

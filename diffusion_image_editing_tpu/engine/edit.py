@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core import schedule as S
 from ..guidance.attr_functions import AttrFunc, DecodeFn
-from .denoise import EpsFn
+from .denoise import DecodeClosure, EpsFn
 
 Array = jax.Array
 
@@ -62,7 +62,7 @@ def edit(
     zs_in = zs if zs is not None else jnp.zeros((n,) + xt.shape, xt.dtype)
     step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
     if decode_fn is None:
-        decode_fn = lambda x: x  # noqa: E731 — pixel-space (DDPM) codec
+        decode_fn = DecodeClosure()  # identity: pixel-space (DDPM) codec
 
     def body(x, inputs):
         idx, t, z = inputs
@@ -109,17 +109,19 @@ def edit_split(
     timesteps = sched.timesteps[-n:]
     step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
     if decode_fn is None:
-        decode_fn = lambda x: x  # noqa: E731
+        decode_fn = DecodeClosure()  # identity codec
 
+    # eps_fn / decode_fn / attr_func are pytree callables passed as jit
+    # ARGUMENTS so weights stay traced inputs (not captured HLO constants).
     @jax.jit
-    def denoise_step(x, t, z):
-        eps = jax.lax.stop_gradient(eps_fn(x, t))
+    def denoise_step(eps_fn_, x, t, z):
+        eps = jax.lax.stop_gradient(eps_fn_(x, t))
         x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
         return x_new, eps, px0
 
     @jax.jit
-    def guidance_step(af, x, z, eps, t, idx):
-        return af.apply(x, z, eps, t, idx, sched, decode_fn, mask=mask, x0=x0_ref)
+    def guidance_step(af, dec_fn_, x, z, eps, t, idx):
+        return af.apply(x, z, eps, t, idx, sched, dec_fn_, mask=mask, x0=x0_ref)
 
     import numpy as np
 
@@ -129,9 +131,11 @@ def edit_split(
     zs_in = zs if zs is not None else [None] * n
     for i, t in enumerate(ts_host):
         z = zs_in[i] if zs is not None else jnp.zeros_like(x)
-        x, eps, px0 = denoise_step(x, jnp.int32(t), z)
+        x, eps, px0 = denoise_step(eps_fn, x, jnp.int32(t), z)
         if attr_func is not None:
-            x, z = guidance_step(attr_func, x, z, eps, jnp.int32(t), jnp.int32(i))
+            x, z = guidance_step(
+                attr_func, decode_fn, x, z, eps, jnp.int32(t), jnp.int32(i)
+            )
         if collect:
             xts_out.append(x)
             eps_out.append(eps)

@@ -57,15 +57,20 @@ def guided_edit_sweep(
     (G, B, H, W, C) final latents, sharded over the mesh when given.
     """
 
-    def one(af: AttrFunc) -> Array:
+    def one(af: AttrFunc, eps_fn_, dec_fn_, xt_, zs_) -> Array:
         return edit(
-            sched, eps_fn, xt, eta=eta, zs=zs, attr_func=af, decode_fn=decode_fn,
+            sched, eps_fn_, xt_, eta=eta, zs=zs_, attr_func=af, decode_fn=dec_fn_,
             mask=mask, x0_ref=x0_ref, step_rule=step_rule, collect=False,
         ).x0
 
-    vm = jax.vmap(one, in_axes=(_attr_axes(attr_func, swept_fields),))
+    # eps_fn/decode_fn/xt/zs enter the jit as arguments (weights as traced
+    # inputs); only the attr grid is vmapped.
+    vm = jax.vmap(
+        one, in_axes=(_attr_axes(attr_func, swept_fields), None, None, None, None)
+    )
+    args = (attr_func, eps_fn, decode_fn, xt, zs)
     if mesh is None:
-        return jax.jit(vm)(attr_func)
+        return jax.jit(vm)(*args)
 
     grid_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -74,9 +79,10 @@ def guided_edit_sweep(
         lambda leaf: grid_sharding if getattr(leaf, "ndim", 0) == 1 else repl,
         attr_func,
     )
-    out = jax.jit(vm, in_shardings=(af_shardings,), out_shardings=grid_sharding)(
-        attr_func
-    )
+    out = jax.jit(
+        vm, in_shardings=(af_shardings, repl, repl, repl, repl),
+        out_shardings=grid_sharding,
+    )(*args)
     return out
 
 
@@ -95,17 +101,18 @@ def seed_sweep_generate(
 
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
 
-    def one(key):
+    def one(key, eps_fn_):
         kx, kz = jax.random.split(key)
         xt = jax.random.normal(kx, latent_shape)
         zs = (
             jax.random.normal(kz, (sched.num_inference_steps,) + latent_shape)
             if eta > 0 else None
         )
-        return generate(sched, eps_fn, xt, eta=eta, zs=zs).x0
+        return generate(sched, eps_fn_, xt, eta=eta, zs=zs).x0
 
-    vm = jax.vmap(one)
+    vm = jax.vmap(one, in_axes=(0, None))
     if mesh is None:
-        return jax.jit(vm)(keys)
+        return jax.jit(vm)(keys, eps_fn)
     grid = NamedSharding(mesh, P(axis))
-    return jax.jit(vm, in_shardings=(grid,), out_shardings=grid)(keys)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(vm, in_shardings=(grid, repl), out_shardings=grid)(keys, eps_fn)

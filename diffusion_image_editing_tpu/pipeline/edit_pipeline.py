@@ -21,8 +21,34 @@ from typing import Any, Callable, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..engine.edit import edit as run_edit
 from ..engine import invert as I
+
+
+# Module-level jitted entry points: the schedule, denoiser closure, codec
+# closure and attr_func are all pytrees passed as ARGUMENTS (weights as traced
+# inputs, not captured constants), and function identity is stable so the jit
+# cache works across pipeline calls.
+@jax.jit
+def _jit_ddim_invert(sched, eps_fn, x):
+    return I.ddim_invert(sched, eps_fn, x)
+
+
+@functools.partial(jax.jit, static_argnames=("eta",))
+def _jit_ddpm_invert(sched, eps_fn, x, key, eta):
+    return I.ddpm_invert(sched, eps_fn, x, eta=eta, key=key)
+
+
+@functools.partial(jax.jit, static_argnames=("eta", "step_rule", "collect", "has_zs"))
+def _jit_edit(sched, eps_fn, decode_fn, xt, zs, attr_func, mask, x0_ref,
+              eta, step_rule, collect, has_zs):
+    return run_edit(
+        sched, eps_fn, xt, eta=eta, zs=zs if has_zs else None, attr_func=attr_func,
+        decode_fn=decode_fn, mask=mask, x0_ref=x0_ref, step_rule=step_rule,
+        collect=collect,
+    )
 from ..guidance.attr_functions import AttrFunc
 from ..utils.constants import ATTRS
 from .masks import MaskCreator, apply_mask
@@ -141,14 +167,12 @@ class EditPipeline:
         eps_fn = w.eps_fn(text_emb, cfg_scale)
 
         if inversion_method == "ddim":
-            xt = jax.jit(lambda x: I.ddim_invert(sched, eps_fn, x))(latent)
+            xt = _jit_ddim_invert(sched, eps_fn, latent)
             zs, xts = None, None
         elif inversion_method == "ddpm":
             if key is None:
                 key = jax.random.PRNGKey(0)
-            res = jax.jit(lambda x, k: I.ddpm_invert(sched, eps_fn, x, eta=eta, key=k))(
-                latent, key
-            )
+            res = _jit_ddpm_invert(sched, eps_fn, latent, key, eta=eta)
             xt, zs, xts = res.xt, res.zs, res.xts
         else:
             raise ValueError(f"Unknown inversion method: {inversion_method}")
@@ -198,10 +222,11 @@ class EditPipeline:
         eps_fn = w.eps_fn(text_emb, cfg_scale)
         step_rule = "ddpm" if (inversion_method == "ddpm" and t_skip is not None) else "ddim"
 
-        result = run_edit(
-            sched, eps_fn, xt, eta=eta, zs=zs, attr_func=attr_func,
-            decode_fn=w.decode_fn(), mask=mask, x0_ref=x0_ref,
-            step_rule=step_rule, collect=collect,
+        result = _jit_edit(
+            sched, eps_fn, w.decode_fn(), xt,
+            zs if zs is not None else jnp.zeros((0,) + xt.shape, xt.dtype),
+            attr_func, mask, x0_ref,
+            eta=eta, step_rule=step_rule, collect=collect, has_zs=zs is not None,
         )
 
         imgs = w.decode(result.x0)

@@ -15,10 +15,11 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..core.schedule import Schedule
 from ..engine import denoise as D
-from ..engine.denoise import EpsFn
+from ..engine.denoise import DecodeClosure, EncodeClosure, EpsFn
 
 Array = jax.Array
 
@@ -35,17 +36,25 @@ class DiffusionWrapper:
         self.data_dimensionality = unet_module.config.sample_size
         self.latent_channels = unet_module.config.in_channels
         self._jit_cache: Dict[Any, Callable] = {}
+        # Bound-method / lambda identities must be stable across calls or the
+        # static fields of the pytree closures defeat the jit cache.
+        self._unet_apply = unet_module.apply
+        self._encode_closure = EncodeClosure()
+        self._decode_closure = DecodeClosure()
 
     # ---- codec boundary --------------------------------------------------
+    def encode_fn(self) -> EncodeClosure:
+        return self._encode_closure
+
+    def decode_fn(self) -> DecodeClosure:
+        """Differentiable latent->image pytree callable for guidance."""
+        return self._decode_closure
+
     def encode(self, sample: Array) -> Array:
-        raise NotImplementedError
+        return self.encode_fn()(sample)
 
     def decode(self, latent: Array) -> Array:
-        raise NotImplementedError
-
-    def decode_fn(self) -> Callable[[Array], Array]:
-        """Differentiable latent->image function for guidance."""
-        return self.decode
+        return self.decode_fn()(latent)
 
     # ---- denoiser --------------------------------------------------------
     def prep_text(self, prompt_ids: Optional[Array]) -> Optional[Array]:
@@ -55,8 +64,8 @@ class DiffusionWrapper:
 
     def eps_fn(self, text_emb: Optional[Array] = None, cfg_scale: float = 3.5) -> EpsFn:
         if text_emb is None:
-            return D.make_eps_fn(self.unet.apply, self.unet_params)
-        return D.make_cfg_eps_fn(self.unet.apply, self.unet_params, text_emb, cfg_scale)
+            return D.make_eps_fn(self._unet_apply, self.unet_params)
+        return D.make_cfg_eps_fn(self._unet_apply, self.unet_params, text_emb, cfg_scale)
 
     # ---- sampling helpers --------------------------------------------------
     def latent_shape(self, batch: int = 1) -> Tuple[int, ...]:
@@ -93,16 +102,18 @@ class DiffusionWrapper:
         sched = self._sched_for(num_inference_steps)
         text_emb = self.prep_text(prompt_ids)
         eps_fn = self.eps_fn(text_emb, cfg_scale)
+        dec_fn = self.decode_fn()
 
-        key = ("gen", num_inference_steps, eta, zs is not None, collect,
-               cfg_scale if text_emb is not None else None)
+        # eps_fn / dec_fn are pytree callables passed as jit ARGUMENTS so the
+        # model weights are traced inputs, never captured constants.
+        key = ("gen", num_inference_steps, eta, zs is not None, collect)
         if key not in self._jit_cache:
-            def run(xt_, zs_):
-                traj = D.generate(sched, eps_fn, xt_, eta=eta, zs=zs_, collect=collect)
-                return self.decode(traj.x0), traj
+            def run(eps_fn_, dec_fn_, xt_, zs_):
+                traj = D.generate(sched, eps_fn_, xt_, eta=eta, zs=zs_, collect=collect)
+                return dec_fn_(traj.x0), traj
 
             self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key](xt, zs)
+        return self._jit_cache[key](eps_fn, dec_fn, xt, zs)
 
     def generate_images(
         self,
@@ -137,12 +148,6 @@ class DDPM(DiffusionWrapper):
 
     family = "ddpm"
 
-    def encode(self, sample: Array) -> Array:
-        return sample
-
-    def decode(self, latent: Array) -> Array:
-        return latent
-
 
 class LDM(DiffusionWrapper):
     """VQ latent model (`src/diffusion_classes.py:47-70`)."""
@@ -153,12 +158,13 @@ class LDM(DiffusionWrapper):
         super().__init__(unet_module, unet_params, sched)
         self.vqvae = vqvae_module
         self.vqvae_params = vqvae_params
-
-    def encode(self, sample: Array) -> Array:
-        return self.vqvae.apply(self.vqvae_params, sample, method="encode")
-
-    def decode(self, latent: Array) -> Array:
-        return self.vqvae.apply(self.vqvae_params, latent, method="decode")
+        apply = vqvae_module.apply
+        self._encode_closure = EncodeClosure(
+            lambda p, x: apply(p, x, method="encode"), vqvae_params
+        )
+        self._decode_closure = DecodeClosure(
+            lambda p, z: apply(p, z, method="decode"), vqvae_params
+        )
 
 
 class SD(DiffusionWrapper):
@@ -177,14 +183,17 @@ class SD(DiffusionWrapper):
         self.text_encoder = text_module
         self.text_params = text_params
         self.tokenizer = tokenizer
+        self._setup_codec()
 
-    def encode(self, sample: Array) -> Array:
-        latent = self.vae.apply(self.vae_params, sample, method="encode")
-        return self.vae.config.scaling_factor * latent
-
-    def decode(self, latent: Array) -> Array:
-        latent = latent / self.vae.config.scaling_factor
-        return self.vae.apply(self.vae_params, latent, method="decode")
+    def _setup_codec(self) -> None:
+        apply = self.vae.apply
+        sf = self.vae.config.scaling_factor
+        self._encode_closure = EncodeClosure(
+            lambda p, x: apply(p, x, method="encode"), self.vae_params, scale=sf
+        )
+        self._decode_closure = DecodeClosure(
+            lambda p, z: apply(p, z, method="decode"), self.vae_params, scale=sf
+        )
 
     def encode_text_ids(self, input_ids: Array) -> Array:
         return self.text_encoder.apply(self.text_params, input_ids)
