@@ -156,7 +156,7 @@ def _abn_apply(
 def _supports_pallas() -> bool:
     from .flags import supports_pallas
 
-    return supports_pallas()
+    return supports_pallas("abn")
 
 
 # ---------------------------------------------------------------------------

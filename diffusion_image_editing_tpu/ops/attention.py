@@ -138,10 +138,21 @@ class _FallbackToReference(Exception):
     pass
 
 
+# K+V for one head must fit comfortably in VMEM (~16MB/core) next to the
+# q/score/accumulator blocks; beyond this the Mosaic kernel spills and loses
+# badly to XLA (measured: SD VAE decoder attention, 4096 tokens x 512 dim).
+_KV_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _pallas_profitable(s_k: int, d: int) -> bool:
+    d_pad = _round_up(d, 128)
+    return 2 * s_k * d_pad * 4 <= _KV_VMEM_BUDGET_BYTES
+
+
 def _supports_pallas() -> bool:
     from .flags import supports_pallas
 
-    return supports_pallas()
+    return supports_pallas("attn")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -184,5 +195,5 @@ def attention(
     if causal:
         return attention_reference(q, k, v, scale, causal=True)
     if use_pallas is None:
-        use_pallas = _supports_pallas()
+        use_pallas = _supports_pallas() and _pallas_profitable(k.shape[1], q.shape[-1])
     return _attention(q, k, v, float(scale), bool(use_pallas))

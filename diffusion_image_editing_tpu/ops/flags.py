@@ -13,19 +13,29 @@ from typing import Optional
 import jax
 
 
-def pallas_enabled() -> Optional[bool]:
-    """Tri-state override from the environment; None = auto."""
-    v = os.environ.get("DIE_TPU_PALLAS")
+def pallas_enabled(op: Optional[str] = None) -> Optional[bool]:
+    """Tri-state override from the environment; None = auto. Per-op vars
+    (DIE_TPU_PALLAS_ATTN / DIE_TPU_PALLAS_GN / DIE_TPU_PALLAS_ABN) take
+    precedence over the global DIE_TPU_PALLAS."""
+    v = None
+    if op is not None:
+        v = os.environ.get(f"DIE_TPU_PALLAS_{op.upper()}")
+    if v is None:
+        v = os.environ.get("DIE_TPU_PALLAS")
     if v is None:
         return None
     return v.lower() in ("1", "true", "yes", "on")
 
 
-def supports_pallas() -> bool:
-    override = pallas_enabled()
-    if override is not None:
-        return override
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
     except Exception:  # pragma: no cover
         return False
+
+
+def supports_pallas(op: Optional[str] = None) -> bool:
+    override = pallas_enabled(op)
+    if override is not None:
+        return override
+    return _on_tpu()

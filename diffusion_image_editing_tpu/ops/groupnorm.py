@@ -164,9 +164,13 @@ def group_norm_pallas(
 
 
 def _supports_pallas() -> bool:
-    from .flags import supports_pallas
+    # Default OFF on auto: XLA fuses GroupNorm+SiLU into neighbouring convs
+    # well enough that the standalone two-pass kernel loses at large spatial
+    # sizes (measured: SD VAE decoder 3.5x slower with the kernel). Opt in
+    # with DIE_TPU_PALLAS_GN=1.
+    from .flags import pallas_enabled
 
-    return supports_pallas()
+    return bool(pallas_enabled("gn"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
