@@ -59,24 +59,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     q_ref: (1, block_q, D); k_ref/v_ref: (1, S, D) — the full K/V for this
     head resident in VMEM. Scaling is applied to q inside the kernel.
     """
-    q = q_ref[0].astype(jnp.float32) * scale
+    # Matmul inputs stay in the storage dtype (bf16 runs the MXU at full
+    # rate); accumulation and softmax statistics are fp32.
+    q = q_ref[0]
     s_k = k_ref.shape[1]
     block_q, d = q.shape
     num_kb = s_k // block_k
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) fp32
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(vb.dtype), vb, preferred_element_type=jnp.float32
+        )
         return acc, m_new, l_new
 
     acc = jnp.zeros((block_q, d), jnp.float32)
