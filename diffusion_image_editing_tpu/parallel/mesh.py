@@ -40,3 +40,17 @@ def shard_leading_axis(x, mesh: Mesh, axis: str = "data"):
     """Place an array (or pytree) with its leading axis split over `axis`."""
     s = data_sharded(mesh, axis)
     return jax.tree.map(lambda a: jax.device_put(a, s), x)
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host initialization (DCN across slices): thin wrapper over
+    `jax.distributed.initialize`. Single-host (this environment) is a no-op.
+    The reference's equivalent is `dist.init_process_group('nccl', ...)`
+    (`Segmentation/train.py:47-52`); in JAX the collectives themselves are
+    compiler-scheduled — only process discovery needs initializing."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass  # single-process run

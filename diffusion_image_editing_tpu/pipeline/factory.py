@@ -150,3 +150,46 @@ def _as_jnp(tree):
 
 def _warn_random_init():
     print("WARNING: random-init weights (no checkpoint given)", file=sys.stderr)
+
+
+def save_wrapper_params(wrapper, ckpt_dir: str) -> None:
+    """Persist a wrapper's parameter pytrees with Orbax (the `save_pretrained`
+    counterpart; reload with `load_wrapper_params`)."""
+    import orbax.checkpoint as ocp
+
+    tree = {"unet": wrapper.unet_params}
+    if hasattr(wrapper, "vae_params"):
+        tree["vae"] = wrapper.vae_params
+    if hasattr(wrapper, "vqvae_params"):
+        tree["vqvae"] = wrapper.vqvae_params
+    if getattr(wrapper, "text_params", None) is not None:
+        tree["text"] = wrapper.text_params
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        mgr.save(0, args=ocp.args.PyTreeSave(tree))
+
+
+def load_wrapper_params(wrapper, ckpt_dir: str):
+    """Restore parameter pytrees saved by `save_wrapper_params` into a
+    freshly-constructed wrapper (architectures must match)."""
+    import orbax.checkpoint as ocp
+
+    template = {"unet": wrapper.unet_params}
+    if hasattr(wrapper, "vae_params"):
+        template["vae"] = wrapper.vae_params
+    if hasattr(wrapper, "vqvae_params"):
+        template["vqvae"] = wrapper.vqvae_params
+    if getattr(wrapper, "text_params", None) is not None:
+        template["text"] = wrapper.text_params
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        restored = mgr.restore(mgr.latest_step(), args=ocp.args.PyTreeRestore(template))
+    wrapper.unet_params = restored["unet"]
+    if "vae" in restored:
+        wrapper.vae_params = restored["vae"]
+        wrapper._setup_codec()
+    if "vqvae" in restored:
+        wrapper.vqvae_params = restored["vqvae"]
+        wrapper._setup_codec()
+    if "text" in restored:
+        wrapper.text_params = restored["text"]
+    wrapper._jit_cache.clear()
+    return wrapper

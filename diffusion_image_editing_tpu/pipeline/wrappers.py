@@ -158,12 +158,15 @@ class LDM(DiffusionWrapper):
         super().__init__(unet_module, unet_params, sched)
         self.vqvae = vqvae_module
         self.vqvae_params = vqvae_params
-        apply = vqvae_module.apply
+        self._setup_codec()
+
+    def _setup_codec(self) -> None:
+        apply = self.vqvae.apply
         self._encode_closure = EncodeClosure(
-            lambda p, x: apply(p, x, method="encode"), vqvae_params
+            lambda p, x: apply(p, x, method="encode"), self.vqvae_params
         )
         self._decode_closure = DecodeClosure(
-            lambda p, z: apply(p, z, method="decode"), vqvae_params
+            lambda p, z: apply(p, z, method="decode"), self.vqvae_params
         )
 
 
