@@ -65,3 +65,48 @@ def test_seg_metrics_and_vis():
     changed = recolored != img
     assert changed[pred == 2].any()
     assert not changed[pred != 2].any()
+
+
+def test_wrapper_params_save_load_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_image_editing_tpu.core import make_schedule
+    from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+    from diffusion_image_editing_tpu.pipeline import (
+        DDPM,
+        load_wrapper_params,
+        save_wrapper_params,
+    )
+
+    sched = make_schedule(num_inference_steps=2, clip_sample=False)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    w = DDPM(model, params, sched)
+    save_wrapper_params(w, str(tmp_path / "ckpt"))
+
+    fresh_params = model.init(jax.random.PRNGKey(8), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    w2 = DDPM(model, fresh_params, sched)
+    load_wrapper_params(w2, str(tmp_path / "ckpt"))
+    a = jax.tree.leaves(w.unet_params)[0]
+    b = jax.tree.leaves(w2.unet_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_clip_tokenizer_from_hf_dir(tmp_path):
+    import json
+
+    from diffusion_image_editing_tpu.host import CLIPTokenizer
+    from diffusion_image_editing_tpu.host.tokenizer import bytes_to_unicode
+
+    byte_vocab = list(bytes_to_unicode().values())
+    tokens = byte_vocab + [v + "</w>" for v in byte_vocab]
+    merges = [("h", "i</w>")]
+    tokens += ["".join(m) for m in merges]
+    tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(tokens)}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version\nh i</w>\n")
+    tok = CLIPTokenizer.from_pretrained(str(tmp_path), max_length=8)
+    ids = tok.encode("hi")
+    assert ids[1] == vocab["hi</w>"]  # merge applied
