@@ -95,6 +95,67 @@ def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, o_ref, *, act)
     o_ref[0] = _activate(out, act).astype(o_ref.dtype)
 
 
+def _single_block_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, act):
+    """One image fully resident in VMEM: stats + normalize + affine + act in a
+    single pass — one HBM read and one write (optimal for GN, which XLA
+    implements as two passes).
+
+    The channel->group reduction runs as a matmul against a group-assignment
+    matrix (lane-aligned, MXU-friendly) because cpg = C/groups is rarely a
+    multiple of 128 and Mosaic rejects the (m, g, cpg) reshape."""
+    x = x_ref[0].astype(jnp.float32)  # (m, C)
+    m, c = x.shape
+    cpg = c // num_groups
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cpg
+    grps = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    gmat = (cols == grps).astype(jnp.float32)  # (C, G)
+
+    colsum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    colsq = jnp.sum(x * x, axis=0, keepdims=True)
+    count = m * cpg
+    gmean = jnp.dot(colsum, gmat, preferred_element_type=jnp.float32) / count  # (1, G)
+    gsq = jnp.dot(colsq, gmat, preferred_element_type=jnp.float32) / count
+    grstd = jax.lax.rsqrt(gsq - gmean * gmean + eps)
+    mean_c = jnp.dot(gmean, gmat.T, preferred_element_type=jnp.float32)  # (1, C)
+    rstd_c = jnp.dot(grstd, gmat.T, preferred_element_type=jnp.float32)
+
+    out = (x - mean_c) * rstd_c * scale_ref[...].astype(jnp.float32) + bias_ref[
+        ...
+    ].astype(jnp.float32)
+    o_ref[0] = _activate(out, act).astype(o_ref.dtype)
+
+
+# Whole-image VMEM budget for the single-pass kernel (fp32 working set ~4x).
+_GN_SINGLE_BLOCK_BYTES = 4 * 1024 * 1024
+
+
+def group_norm_single_block(
+    x: Array,
+    scale: Array,
+    bias: Array,
+    num_groups: int,
+    eps: float = 1e-6,
+    act: Optional[str] = "silu",
+    interpret: bool = False,
+) -> Array:
+    n, h, w, c = x.shape
+    m = h * w
+    xr = x.reshape(n, m, c)
+    out = pl.pallas_call(
+        functools.partial(_single_block_kernel, num_groups=num_groups, eps=eps, act=act),
+        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((n, m, c), x.dtype),
+        in_specs=[
+            pl.BlockSpec((1, m, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, m, c), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(xr, scale, bias)
+    return out.reshape(n, h, w, c)
+
+
 def _pick_tile(m: int) -> int:
     for t in (512, 256, 128, 64, 32, 16, 8):
         if m % t == 0:
@@ -114,8 +175,12 @@ def group_norm_pallas(
     n, h, w, c = x.shape
     g = num_groups
     m = h * w
+    if c % g:
+        return group_norm_reference(x, scale, bias, num_groups, eps, act)
+    if m * c * x.dtype.itemsize <= _GN_SINGLE_BLOCK_BYTES:
+        return group_norm_single_block(x, scale, bias, num_groups, eps, act, interpret)
     tile = _pick_tile(m)
-    if tile == 0 or c % g or c % 128:
+    if tile == 0 or c % 128:
         return group_norm_reference(x, scale, bias, num_groups, eps, act)
 
     xr = x.reshape(n, m, c)
@@ -163,11 +228,12 @@ def group_norm_pallas(
     return out.reshape(n, h, w, c)
 
 
-def _supports_pallas() -> bool:
-    # Default OFF on auto: XLA fuses GroupNorm+SiLU into neighbouring convs
-    # well enough that the standalone two-pass kernel loses at large spatial
-    # sizes (measured: SD VAE decoder 3.5x slower with the kernel). Opt in
-    # with DIE_TPU_PALLAS_GN=1.
+def _supports_pallas(x: Array) -> bool:
+    # Auto: OFF. XLA fuses GroupNorm+SiLU into the neighbouring convs, which
+    # beats BOTH standalone kernels here (measured on v5e, SD-1.5 512px edit:
+    # tiled two-pass kernel 83 vs 24 ms VAE decode; single-pass whole-image
+    # kernel 12.2 vs 14.2 steps/s end-to-end). The kernels stay available via
+    # DIE_TPU_PALLAS_GN=1 for future shapes/hardware.
     from .flags import pallas_enabled
 
     return bool(pallas_enabled("gn"))
@@ -211,5 +277,5 @@ def group_norm(
 ) -> Array:
     """Fused GroupNorm + activation over NHWC. Pallas on TPU, jnp elsewhere."""
     if use_pallas is None:
-        use_pallas = _supports_pallas()
+        use_pallas = _supports_pallas(x)
     return _group_norm(x, scale, bias, int(num_groups), float(eps), act, bool(use_pallas))

@@ -59,3 +59,12 @@ def test_custom_vjp_grads_match_autodiff():
     g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, scale, bias)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_single_block_kernel_matches_reference():
+    from diffusion_image_editing_tpu.ops.groupnorm import group_norm_single_block
+
+    x, scale, bias, g = _setup(5, n=2, h=8, w=8, c=128, groups=32)
+    out = group_norm_single_block(x, scale, bias, g, act="silu", interpret=True)
+    ref = group_norm_reference(x, scale, bias, g, act="silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
