@@ -1,0 +1,42 @@
+"""Secondary benchmark: batched guided-edit throughput (images/s) at batch
+sizes 1/2/4 — the MXU utilization of the 512px SD-1.5 edit improves with
+batch, which is how production sweeps (BASELINE config 5) run."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from bench import STEPS, build_edit_step  # noqa: E402
+
+
+def main():
+    tiny = jax.default_backend() == "cpu"
+    import numpy as np
+
+    for batch in (1, 2, 4):
+        denoise_step, guidance_nudge, eps_fn, decode_fn, xt, sched = build_edit_step(tiny)
+        xt = jnp.repeat(xt, batch, axis=0)
+        timesteps = np.asarray(sched.timesteps)
+
+        def run_pass(x):
+            for i, t in enumerate(timesteps):
+                x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+                x = guidance_nudge(decode_fn, x, eps, jnp.int32(t), jnp.int32(i))
+            return x
+
+        run_pass(xt).block_until_ready()
+        t0 = time.perf_counter()
+        out = run_pass(xt)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        print(
+            f"batch {batch}: {STEPS / dt:.2f} steps/s, "
+            f"{batch * STEPS / dt:.2f} image-steps/s, {dt:.2f}s per 50-step edit"
+        )
+
+
+if __name__ == "__main__":
+    main()
