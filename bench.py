@@ -87,7 +87,12 @@ def build_edit_step(tiny: bool):
         scale=0.18215,
     )
 
-    attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS)
+    import os
+
+    remat = os.environ.get("DIE_BENCH_REMAT", "0") == "1"
+    attr = SingleColorAttrFunc(
+        target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS, remat_decode=remat
+    )
 
     # Two jits instead of one fused program (the combined UNet+VAE-grad HLO
     # destabilizes this environment's remote-compile tunnel). The denoiser

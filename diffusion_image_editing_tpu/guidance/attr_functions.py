@@ -69,6 +69,10 @@ class AttrFunc(struct.PyTreeNode):
     metric_fn: Optional[Callable[[Array, Array], Array]] = struct.field(
         pytree_node=False, default=None
     )
+    # rematerialize the decoder in the guidance VJP: trades one extra decode
+    # forward per step for not storing decoder activations — required for
+    # batched 512px edits (batch >= 2 OOMs a 16GB chip without it)
+    remat_decode: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def name(self) -> str:
@@ -119,10 +123,11 @@ class AttrFunc(struct.PyTreeNode):
         -grad(scale * loss) * alpha_bar_t^2 inside the [t1, t2) window."""
         a_t = S.alpha_bar(sched, t).astype(xt.dtype)
         eps_sg = jax.lax.stop_gradient(eps)
+        dec = jax.checkpoint(decode_fn) if self.remat_decode else decode_fn
 
         def objective(x):
             px0 = (x - jnp.sqrt(1.0 - a_t) * eps_sg) / jnp.sqrt(a_t)
-            decoded = decode_fn(px0)
+            decoded = dec(px0)
             m = mask if self.use_mask else None
             return self.calculate_loss(decoded, m, x0) * self.loss_scale
 

@@ -17,6 +17,10 @@ def main():
     import numpy as np
 
     for batch in (1, 2, 4):
+        # batch >= 2 needs the rematerialized-decoder guidance (DIE_BENCH_REMAT)
+        import os
+
+        os.environ["DIE_BENCH_REMAT"] = "1" if batch > 1 else "0"
         denoise_step, guidance_nudge, eps_fn, decode_fn, xt, sched = build_edit_step(tiny)
         xt = jnp.repeat(xt, batch, axis=0)
         timesteps = np.asarray(sched.timesteps)
