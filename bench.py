@@ -125,15 +125,20 @@ def main():
             x = guidance_nudge(decode_fn, x, eps, jnp.int32(t), jnp.int32(i))
         return x
 
-    run_pass(xt).block_until_ready()  # compile + warm the dispatch path
+    # Warm on a DIFFERENT latent than the timed passes, chain timed inputs,
+    # and force a device-to-host readback each pass: guards against transport
+    # layers that ack block_until_ready early or memoize identical calls.
+    run_pass(xt + 1.0).block_until_ready()
 
     reps = 3
+    sink = 0.0
     t0 = time.perf_counter()
     out = xt
     for _ in range(reps):
         out = run_pass(out)
-    out.block_until_ready()
+        sink += float(jnp.sum(out))  # D2H sync inside the timed region
     elapsed = (time.perf_counter() - t0) / reps
+    assert jnp.isfinite(sink)
 
     steps_per_sec = STEPS / elapsed
     result = {

@@ -123,7 +123,12 @@ class AttrFunc(struct.PyTreeNode):
         -grad(scale * loss) * alpha_bar_t^2 inside the [t1, t2) window."""
         a_t = S.alpha_bar(sched, t).astype(xt.dtype)
         eps_sg = jax.lax.stop_gradient(eps)
-        dec = jax.checkpoint(decode_fn) if self.remat_decode else decode_fn
+        if self.remat_decode:
+            # wrap in a plain function: jax.checkpoint hashes its callable and
+            # pytree-callables (params leaves) are unhashable
+            dec = jax.checkpoint(lambda z: decode_fn(z))
+        else:
+            dec = decode_fn
 
         def objective(x):
             px0 = (x - jnp.sqrt(1.0 - a_t) * eps_sg) / jnp.sqrt(a_t)

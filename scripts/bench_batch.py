@@ -31,11 +31,12 @@ def main():
                 x = guidance_nudge(decode_fn, x, eps, jnp.int32(t), jnp.int32(i))
             return x
 
-        run_pass(xt).block_until_ready()
+        run_pass(xt + 1.0).block_until_ready()  # warm on a distinct latent
         t0 = time.perf_counter()
         out = run_pass(xt)
-        out.block_until_ready()
+        sink = float(jnp.sum(out))  # D2H sync inside the timed region
         dt = time.perf_counter() - t0
+        assert jnp.isfinite(sink)
         print(
             f"batch {batch}: {STEPS / dt:.2f} steps/s, "
             f"{batch * STEPS / dt:.2f} image-steps/s, {dt:.2f}s per 50-step edit"
