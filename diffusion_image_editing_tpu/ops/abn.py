@@ -139,7 +139,7 @@ def _abn_apply(
     out = pl.pallas_call(
         functools.partial(_abn_apply_kernel, activation=activation, slope=slope),
         grid=(m // tile,),
-        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, m, c), x.dtype),
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda i: (0, i, 0)),
             pl.BlockSpec((c,), lambda i: (0,)),

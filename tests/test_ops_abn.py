@@ -145,3 +145,19 @@ def test_running_stats_update():
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_abn_pallas_apply_interpret_matches_reference():
+    """Regression: the Pallas apply kernel's out_shape must match its 3-D
+    block spec (caught on real TPU; interpret mode covers it in CI)."""
+    from diffusion_image_editing_tpu.ops.abn import _abn_apply
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    m = jnp.zeros((128,))
+    r = jnp.ones((128,))
+    w = jnp.ones((128,)) * 1.1
+    b = jnp.zeros((128,)) + 0.2
+    out = _abn_apply(x, m, r, w, b, "leaky_relu", 0.01, True, interpret=True)
+    ref = _abn_apply(x, m, r, w, b, "leaky_relu", 0.01, False)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
