@@ -82,6 +82,25 @@ def edit(
     return EditResult(x_final)
 
 
+import functools
+
+
+# Module-level jitted step programs for the split edit path: stable function
+# identity (no per-call retrace); the schedule, denoiser, codec, attr_func,
+# and mask all enter as pytree ARGUMENTS (weights as traced inputs).
+@functools.partial(jax.jit, static_argnames=("eta", "step_rule"))
+def _split_denoise(sched, eps_fn, x, t, z, eta, step_rule):
+    step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
+    eps = jax.lax.stop_gradient(eps_fn(x, t))
+    x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
+    return x_new, eps, px0
+
+
+@jax.jit
+def _split_guidance(af, sched, dec_fn, x, z, eps, t, idx, mask, x0_ref):
+    return af.apply(x, z, eps, t, idx, sched, dec_fn, mask=mask, x0=x0_ref)
+
+
 def edit_split(
     sched: S.Schedule,
     eps_fn: EpsFn,
@@ -98,43 +117,32 @@ def edit_split(
     """`edit` with the scan unrolled into a host loop over two small jitted
     programs (denoise step / guidance nudge).
 
-    Identical math to `edit`; trades per-step dispatch overhead for a much
-    smaller compiled-program size. Useful when the fused UNet+VAE-grad scan
-    is too large for the compile service (e.g. remote-compile TPU tunnels)
-    or when compile latency matters more than the last few ms/step.
+    Identical math to `edit`. On this hardware stack it is the FASTER path:
+    Pallas kernels inside `lax.scan` lose pipelining (measured 209 vs 71
+    ms/step for the SD 512px guided edit), and the small programs also
+    compile far quicker than the monolithic UNet+VAE-grad scan.
     """
     if eta > 0 and zs is None:
         raise ValueError("eta > 0 requires zs")
     n = zs.shape[0] if zs is not None else sched.num_inference_steps
     timesteps = sched.timesteps[-n:]
-    step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
     if decode_fn is None:
         decode_fn = DecodeClosure()  # identity codec
-
-    # eps_fn / decode_fn / attr_func are pytree callables passed as jit
-    # ARGUMENTS so weights stay traced inputs (not captured HLO constants).
-    @jax.jit
-    def denoise_step(eps_fn_, x, t, z):
-        eps = jax.lax.stop_gradient(eps_fn_(x, t))
-        x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
-        return x_new, eps, px0
-
-    @jax.jit
-    def guidance_step(af, dec_fn_, x, z, eps, t, idx):
-        return af.apply(x, z, eps, t, idx, sched, dec_fn_, mask=mask, x0=x0_ref)
 
     import numpy as np
 
     x = xt
     xts_out, eps_out, px0_out = [], [], []
     ts_host = np.asarray(timesteps)
-    zs_in = zs if zs is not None else [None] * n
     for i, t in enumerate(ts_host):
-        z = zs_in[i] if zs is not None else jnp.zeros_like(x)
-        x, eps, px0 = denoise_step(eps_fn, x, jnp.int32(t), z)
+        z = zs[i] if zs is not None else jnp.zeros_like(x)
+        x, eps, px0 = _split_denoise(
+            sched, eps_fn, x, jnp.int32(t), z, eta=eta, step_rule=step_rule
+        )
         if attr_func is not None:
-            x, z = guidance_step(
-                attr_func, decode_fn, x, z, eps, jnp.int32(t), jnp.int32(i)
+            x, z = _split_guidance(
+                attr_func, sched, decode_fn, x, z, eps, jnp.int32(t), jnp.int32(i),
+                mask, x0_ref,
             )
         if collect:
             xts_out.append(x)

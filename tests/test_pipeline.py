@@ -187,3 +187,24 @@ def test_ldm_wrapper_roundtrip_shapes():
     # guidance grads flow through quantizer via straight-through estimator
     g = jax.grad(lambda z: jnp.sum(w.decode(z) ** 2))(latent)
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_edit_image_fused_and_split_modes_agree():
+    w = make_ddpm()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(30), (1, 16, 16, 3)) * 0.1
+    xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", classes=[17], key=jax.random.PRNGKey(31)
+    )
+    from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS)
+    kwargs = dict(
+        eta=1.0, zs=zs, xts=xts, mask=mask, attr_func=attr,
+        inversion_method="ddpm", t_skip=2, key=jax.random.PRNGKey(32),
+    )
+    a = pipe.edit_image(xt, mode="split", **kwargs)
+    b = pipe.edit_image(xt, mode="fused", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(a.imgs), np.asarray(b.imgs), rtol=1e-3, atol=1e-3
+    )
