@@ -179,3 +179,23 @@ def test_merge_part_masks():
     assert label[0, 0] == 1  # skin = class 1
     assert label[25, 0] == 17  # hair = class 17
     assert label[100, 0] == 0
+
+
+def test_train_loop_resume_continues_from_checkpoint(tmp_path):
+    """The resume path the reference lacks: train N steps, checkpoint, build a
+    fresh state, restore, and continue to 2N — step counter and params carry."""
+    from diffusion_image_editing_tpu.seg import train_loop
+
+    cfg = TrainConfig(image_size=32, batch_size_per_device=1, width=8,
+                      warmup_steps=2, max_iter=100, ckpt_every=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    def data():
+        return batch_iterator(SyntheticFaceMask(n=16, size=32), 8,
+                              process_index=0, process_count=1)
+
+    _, state1, _ = train_loop(cfg, data(), ckpt_dir=ckpt, num_steps=4, seed=0)
+    assert int(state1.step) == 4
+    _, state2, losses2 = train_loop(cfg, data(), ckpt_dir=ckpt, num_steps=8, seed=0)
+    assert int(state2.step) == 8
+    assert len(losses2) == 4  # resumed at 4, ran only 4 more
