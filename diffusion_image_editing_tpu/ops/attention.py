@@ -103,9 +103,13 @@ def _flash_attention_fwd_impl(
     # Head-dim zero-padding is always safe (adds 0 to every logit); sequence
     # lengths must divide the block sizes exactly — zero-padded K rows would
     # corrupt the softmax — so non-dividing shapes fall back to the reference.
+    import os
+
     d_pad = _round_up(d, 128)
-    block_q = min(256, _round_up(s_q, 8))
-    block_k = min(512, s_k)
+    bq = int(os.environ.get("DIE_TPU_ATTN_BLOCK_Q", "256"))
+    bk = int(os.environ.get("DIE_TPU_ATTN_BLOCK_K", "512"))
+    block_q = min(bq, _round_up(s_q, 8))
+    block_k = min(bk, s_k)
     if s_q % block_q or s_k % block_k:
         raise _FallbackToReference()
 
