@@ -56,7 +56,12 @@ def cmd_edit(args):
     from .pipeline import EditPipeline
 
     w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
-    pipe = EditPipeline(w, None)
+    seg_fn = None
+    if args.classes:
+        from .pipeline.factory import create_segmentation_model
+
+        seg_fn = create_segmentation_model(args.bisenet_ckpt)
+    pipe = EditPipeline(w, seg_fn)
     from PIL import Image
 
     img = pil_to_array(Image.open(args.image).convert("RGB").resize(
@@ -68,14 +73,21 @@ def cmd_edit(args):
         if args.attr_func == "SingleColorAttrFunc":
             params.update(target=args.color_target, color_idx=args.color_idx)
         attr = registry.get(args.attr_func, params)
+    prompt_ids = None
+    if args.prompt and getattr(w, "tokenizer", None):
+        prompt_ids = jax.numpy.asarray(w.tokenizer.encode(args.prompt), jax.numpy.int32)
     xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
         jax.numpy.asarray(img), eta=args.eta, inversion_method=args.inversion_method,
+        classes=args.classes, dilate_mask=args.dilate_mask,
+        prompt_ids=prompt_ids, cfg_scale=args.cfg_scale,
         key=jax.random.PRNGKey(args.seed),
     )
     out = pipe.edit_image(
         xt, eta=args.eta, zs=zs, xts=xts, mask=mask, attr_func=attr,
+        prompt_ids=prompt_ids, cfg_scale=args.cfg_scale,
         inversion_method=args.inversion_method,
         t_skip=args.t_skip if args.inversion_method == "ddpm" else None,
+        resynthesize=args.resynthesize,
         key=jax.random.PRNGKey(args.seed),
     )
     array_to_pil(np.asarray(out.imgs)).save(args.out)
@@ -83,15 +95,38 @@ def cmd_edit(args):
 
 
 def cmd_metrics(args):
-    """Attribute metrics CLI (reference `metrics.py:212-266`). Requires the
-    anyGAN predictor checkpoint; falls back to reporting round-trip PSNR."""
+    """Attribute metrics CLI (reference `metrics.py:212-266`): generate ->
+    guided edit -> anyGAN attribute consistency + score deltas. Without
+    `--attr-func` it falls back to inversion round-trip PSNR."""
     import jax
     import jax.numpy as jnp
+
+    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
+    if args.attr_func:
+        from .evals import run_attribute_evaluation
+        from .guidance import create_attr_func_registry
+        from .pipeline import EditPipeline
+        from .pipeline.factory import get_pretrained_anygan
+
+        predict, pparams = get_pretrained_anygan(args.anygan_ckpt)
+        registry = create_attr_func_registry()
+        params = dict(loss_scale=args.loss_scale, t1=args.t1, t2=args.t2)
+        if args.attr_func == "SingleColorAttrFunc":
+            params.update(target=args.color_target, color_idx=args.color_idx)
+        attr = registry.get(args.attr_func, params)
+        res = run_attribute_evaluation(
+            w, EditPipeline(w, None), lambda imgs: predict(pparams, imgs), attr,
+            n_samples=args.n, num_inference_steps=args.steps, seed=args.seed,
+        )
+        for name, pct in res["attribute_consistency"].items():
+            print(f"{name} {pct:.2f}%")
+        for idx, name, delta in res["score_deltas"]:
+            print(f"{idx} {name}: {delta:+.3f}")
+        return
 
     from .engine import ddpm_invert, ddpm_sample
     from .evals import inversion_roundtrip_metrics
 
-    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
     key = jax.random.PRNGKey(args.seed)
     x0 = jax.random.normal(key, w.latent_shape(args.n)) * 0.5
     res = ddpm_invert(w.schedule, w.eps_fn(), x0, eta=1.0, key=key)
@@ -155,7 +190,10 @@ def main(argv=None):
     g.add_argument("--eta", type=float, default=0.0)
     g.add_argument("--prompt", default="")
     g.add_argument("--cfg-scale", type=float, default=3.5)
-    g.add_argument("--sample-clipping", action="store_true", default=True)
+    g.add_argument(
+        "--sample-clipping", action=argparse.BooleanOptionalAction, default=True,
+        help="clip pred-x0 to [-1,1] (disable with --no-sample-clipping)",
+    )
     g.add_argument("--out-prefix", default="generated")
     g.set_defaults(fn=cmd_generate)
 
@@ -172,12 +210,28 @@ def main(argv=None):
     e.add_argument("--t2", type=int, default=50)
     e.add_argument("--color-target", type=float, default=0.9)
     e.add_argument("--color-idx", type=int, default=0)
+    e.add_argument("--classes", type=int, nargs="*", default=None,
+                   help="segmentation class ids to mask-edit (needs BiSeNet)")
+    e.add_argument("--bisenet-ckpt", default=None)
+    e.add_argument("--dilate-mask", action="store_true", default=False)
+    e.add_argument("--resynthesize", action="store_true", default=False,
+                   help="fresh noise inside the mask region")
+    e.add_argument("--prompt", default="")
+    e.add_argument("--cfg-scale", type=float, default=3.5)
     e.add_argument("--out", default="edited.png")
     e.set_defaults(fn=cmd_edit)
 
     m = sub.add_parser("metrics")
     common(m)
     m.add_argument("--n", type=int, default=4)
+    m.add_argument("--attr-func", default=None,
+                   help="run the anyGAN attribute evaluation with this guidance")
+    m.add_argument("--anygan-ckpt", default=None)
+    m.add_argument("--loss-scale", type=float, default=1.0)
+    m.add_argument("--t1", type=int, default=0)
+    m.add_argument("--t2", type=int, default=50)
+    m.add_argument("--color-target", type=float, default=0.9)
+    m.add_argument("--color-idx", type=int, default=0)
     m.set_defaults(fn=cmd_metrics)
 
     t = sub.add_parser("seg-train")

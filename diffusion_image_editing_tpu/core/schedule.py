@@ -98,6 +98,10 @@ class Schedule(struct.PyTreeNode):
     num_inference_steps: int = struct.field(pytree_node=False)
     clip_sample: bool = struct.field(pytree_node=False)
     clip_sample_range: float = struct.field(pytree_node=False)
+    # Remembered so `with_num_inference_steps` regenerates timesteps with the
+    # preset's own spacing (e.g. SD's steps_offset=1), not silent defaults.
+    steps_offset: int = struct.field(pytree_node=False, default=0)
+    timestep_spacing: str = struct.field(pytree_node=False, default="leading")
 
     @property
     def step_ratio(self) -> int:
@@ -107,12 +111,22 @@ class Schedule(struct.PyTreeNode):
         return self.replace(clip_sample=clip_sample)
 
     def with_num_inference_steps(
-        self, num_inference_steps: int, timestep_spacing: str = "leading", steps_offset: int = 0
+        self,
+        num_inference_steps: int,
+        timestep_spacing: Optional[str] = None,
+        steps_offset: Optional[int] = None,
     ) -> "Schedule":
+        spacing = self.timestep_spacing if timestep_spacing is None else timestep_spacing
+        offset = self.steps_offset if steps_offset is None else steps_offset
         ts = _inference_timesteps(
-            self.num_train_timesteps, num_inference_steps, timestep_spacing, steps_offset
+            self.num_train_timesteps, num_inference_steps, spacing, offset
         )
-        return self.replace(timesteps=ts, num_inference_steps=num_inference_steps)
+        return self.replace(
+            timesteps=ts,
+            num_inference_steps=num_inference_steps,
+            steps_offset=offset,
+            timestep_spacing=spacing,
+        )
 
 
 def make_schedule(
@@ -141,6 +155,8 @@ def make_schedule(
         num_inference_steps=num_inference_steps,
         clip_sample=clip_sample,
         clip_sample_range=clip_sample_range,
+        steps_offset=steps_offset,
+        timestep_spacing=timestep_spacing,
     )
 
 

@@ -304,12 +304,23 @@ def port_state_dict(
 
 
 def _load_weights(model_dir: str) -> Dict[str, np.ndarray]:
-    for name in os.listdir(model_dir):
-        if name.endswith(".safetensors"):
-            from safetensors.numpy import load_file
+    names = sorted(os.listdir(model_dir))
+    st_files = [n for n in names if n.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
 
-            return load_file(os.path.join(model_dir, name))
-    for name in os.listdir(model_dir):
+        # Sharded checkpoints ship an index json listing every shard; honor it
+        # (otherwise merge every .safetensors file found) so a
+        # model-0000X-of-0000N layout loads completely, not one shard.
+        index = [n for n in names if n.endswith(".safetensors.index.json")]
+        if index:
+            with open(os.path.join(model_dir, index[0])) as f:
+                st_files = sorted(set(json.load(f)["weight_map"].values()))
+        merged: Dict[str, np.ndarray] = {}
+        for n in st_files:
+            merged.update(load_file(os.path.join(model_dir, n)))
+        return merged
+    for name in names:
         if name.endswith(".bin") or name.endswith(".pt") or name.endswith(".pth"):
             import torch
 

@@ -105,15 +105,19 @@ class DiffusionWrapper:
         dec_fn = self.decode_fn()
 
         # eps_fn / dec_fn are pytree callables passed as jit ARGUMENTS so the
-        # model weights are traced inputs, never captured constants.
-        key = ("gen", num_inference_steps, eta, zs is not None, collect)
+        # model weights are traced inputs, never captured constants. The
+        # Schedule is likewise a jit argument: its static fields (clip_sample,
+        # steps_offset, ...) live in the treedef, so swapping the wrapper's
+        # schedule (e.g. with_clip_sample(False)) recompiles instead of
+        # silently reusing a stale compilation.
+        key = ("gen", eta, zs is not None, collect)
         if key not in self._jit_cache:
-            def run(eps_fn_, dec_fn_, xt_, zs_):
-                traj = D.generate(sched, eps_fn_, xt_, eta=eta, zs=zs_, collect=collect)
+            def run(sched_, eps_fn_, dec_fn_, xt_, zs_):
+                traj = D.generate(sched_, eps_fn_, xt_, eta=eta, zs=zs_, collect=collect)
                 return dec_fn_(traj.x0), traj
 
             self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key](eps_fn, dec_fn, xt, zs)
+        return self._jit_cache[key](sched, eps_fn, dec_fn, xt, zs)
 
     def generate_images(
         self,

@@ -208,3 +208,87 @@ def test_edit_image_fused_and_split_modes_agree():
     np.testing.assert_allclose(
         np.asarray(a.imgs), np.asarray(b.imgs), rtol=1e-3, atol=1e-3
     )
+
+
+def test_generate_image_schedule_swap_not_stale():
+    """Swapping wrapper.schedule (e.g. with_clip_sample) must not reuse a
+    cached compilation built for the old schedule (ADVICE r1)."""
+    w = make_ddpm(clip_sample=True)
+    xt = jax.random.normal(jax.random.PRNGKey(1), w.latent_shape(1)) * 3.0
+    img_clip, _ = w.generate_image(xt, num_inference_steps=STEPS)
+    w.schedule = w.schedule.with_clip_sample(False)
+    img_raw, _ = w.generate_image(xt, num_inference_steps=STEPS)
+    assert not np.allclose(np.asarray(img_clip), np.asarray(img_raw))
+
+
+def test_cli_edit_masked_resynthesize(tmp_path):
+    """CLI parity: masked seg edit with resynthesis through cmd_edit
+    (reference SegDiffEditPipeline.py:79-111 flow)."""
+    import sys
+    import types
+    from PIL import Image
+
+    from diffusion_image_editing_tpu import cli
+
+    img_path = tmp_path / "in.png"
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_path)
+    out_path = tmp_path / "out.png"
+
+    w = make_ddpm(clip_sample=False)
+    orig_build = cli._build_wrapper
+    orig_seg = None
+    try:
+        cli._build_wrapper = lambda *a, **k: w
+        import diffusion_image_editing_tpu.pipeline.factory as F
+
+        orig_seg = F.create_segmentation_model
+        F.create_segmentation_model = lambda ckpt: fake_segmentation
+        cli.main([
+            "edit", "--image", str(img_path), "--image-size", "16",
+            "--classes", "17", "--resynthesize", "--eta", "0",
+            "--inversion-method", "ddim", "--steps", str(STEPS),
+            "--out", str(out_path),
+        ])
+    finally:
+        cli._build_wrapper = orig_build
+        if orig_seg is not None:
+            import diffusion_image_editing_tpu.pipeline.factory as F
+
+            F.create_segmentation_model = orig_seg
+    assert out_path.exists()
+
+
+def test_cli_metrics_attribute_eval(capsys):
+    """CLI parity: metrics subcommand runs the anyGAN attribute evaluation
+    (reference metrics.py:212-266)."""
+    from diffusion_image_editing_tpu import cli
+
+    w = make_ddpm(clip_sample=True)
+    orig_build = cli._build_wrapper
+    orig_any = None
+    try:
+        cli._build_wrapper = lambda *a, **k: w
+        import diffusion_image_editing_tpu.pipeline.factory as F
+
+        orig_any = F.get_pretrained_anygan
+
+        def fake_anygan(ckpt):
+            def apply_fn(params, imgs):
+                pooled = jnp.mean(imgs, axis=(1, 2, 3), keepdims=False)
+                return jnp.tile(pooled[:, None], (1, 80))
+
+            return apply_fn, {}
+
+        F.get_pretrained_anygan = fake_anygan
+        cli.main([
+            "metrics", "--n", "2", "--steps", str(STEPS),
+            "--attr-func", "SingleColorAttrFunc",
+        ])
+    finally:
+        cli._build_wrapper = orig_build
+        if orig_any is not None:
+            import diffusion_image_editing_tpu.pipeline.factory as F
+
+            F.get_pretrained_anygan = orig_any
+    out = capsys.readouterr().out
+    assert "%" in out and ":" in out

@@ -162,3 +162,32 @@ def test_schedule_is_jittable_pytree():
     eps = jnp.zeros_like(x)
     out = f(s, x, eps, jnp.int32(980))
     assert out.shape == x.shape
+
+
+def test_with_num_inference_steps_preserves_spacing():
+    # SD preset uses steps_offset=1; regenerating at 25 steps must keep it
+    # (diffusers' set_timesteps semantics), yielding [961..1] not [960..0].
+    s = schedule_for_model("sd", num_inference_steps=50)
+    assert s.steps_offset == 1
+    s25 = s.with_num_inference_steps(25)
+    ts = np.asarray(s25.timesteps)
+    assert ts[0] == 961 and ts[-1] == 1
+    # explicit override still wins
+    s25b = s.with_num_inference_steps(25, steps_offset=0)
+    assert np.asarray(s25b.timesteps)[0] == 960
+
+
+def test_schedule_static_fields_key_jit_cache():
+    # clip_sample is a static treedef field: jit must recompile, not reuse.
+    s_clip = make_schedule(clip_sample=True)
+    s_raw = s_clip.with_clip_sample(False)
+
+    @jax.jit
+    def step(sched, x, eps, t):
+        return ddim_step(sched, x, eps, t, eta=0.0)[0]
+
+    x = jnp.ones((1, 4, 4, 3)) * 5.0  # big enough that clipping matters
+    eps = jnp.zeros_like(x)
+    a = step(s_clip, x, eps, jnp.int32(980))
+    b = step(s_raw, x, eps, jnp.int32(980))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
