@@ -91,6 +91,78 @@ def align_quad(lm: np.ndarray):
     return quad, qsize
 
 
+# FFHQ geometry constants (NVlabs FFHQ recipe, via the reference's vendored
+# `src/alignment.py`). Values are the output-parity contract; the code below
+# is this project's own staged/vectorized implementation.
+_BORDER_FRAC = 0.1  # crop border as a fraction of qsize (min 3 px)
+_PAD_FRAC = 0.3  # minimum reflect-pad extent as a fraction of qsize
+_BLUR_FRAC = 0.02  # gaussian falloff sigma as a fraction of qsize
+_FEATHER_GAIN = 3.0  # blur-feather steepness toward the padded border
+
+
+def _quad_bounds(quad: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer (lo_xy, hi_xy) bounding box of an oriented quad."""
+    return (
+        np.floor(quad.min(axis=0)).astype(int),
+        np.ceil(quad.max(axis=0)).astype(int),
+    )
+
+
+def _shrink_stage(img, quad, qsize, output_size):
+    """Downscale early when the face region dwarfs the output resolution."""
+    factor = int(qsize / output_size * 0.5)
+    if factor <= 1:
+        return img, quad, qsize
+    new_wh = tuple(int(np.rint(s / factor)) for s in img.size)
+    return img.resize(new_wh, PIL.Image.LANCZOS), quad / factor, qsize / factor
+
+
+def _crop_stage(img, quad, border):
+    """Crop to the quad's bbox + border, clipped to the image."""
+    lo, hi = _quad_bounds(quad)
+    lo = np.maximum(lo - border, 0)
+    hi = np.minimum(hi + border, img.size)
+    if np.any(hi - lo < img.size):
+        img = img.crop((*lo, *hi))
+        quad = quad - lo
+    return img, quad
+
+
+def _edge_ramp(n: int, lo_pad: int, hi_pad: int) -> np.ndarray:
+    """1-D falloff: 1 at the outer padded edge, <=0 in the interior."""
+    i = np.arange(n, dtype=np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = 1.0 - np.minimum(i / lo_pad, (n - 1 - i) / hi_pad)
+    return np.nan_to_num(r, nan=1.0, posinf=1.0, neginf=1.0)
+
+
+def _pad_stage(img, quad, qsize, border):
+    """Reflect-pad where the quad leaves the image, feathering the padding
+    into a blurred + median-filled extrapolation so the warp samples no hard
+    reflection seams."""
+    lo, hi = _quad_bounds(quad)
+    need = np.array([border - lo[0], border - lo[1],
+                     hi[0] - img.size[0] + border, hi[1] - img.size[1] + border])
+    need = np.maximum(need, 0)  # (left, top, right, bottom)
+    if need.max() <= border - 4:
+        return img, quad
+    pad = np.maximum(need, int(np.rint(qsize * _PAD_FRAC)))
+    left, top, right, bottom = (int(p) for p in pad)
+
+    arr = np.pad(np.float32(img), ((top, bottom), (left, right), (0, 0)), "reflect")
+    h, w = arr.shape[:2]
+    falloff = np.maximum(
+        _edge_ramp(h, top, bottom)[:, None], _edge_ramp(w, left, right)[None, :]
+    )[..., None]
+    sigma = qsize * _BLUR_FRAC
+    smoothed = scipy.ndimage.gaussian_filter(arr, [sigma, sigma, 0])
+    arr += (smoothed - arr) * np.clip(falloff * _FEATHER_GAIN + 1.0, 0.0, 1.0)
+    arr += (np.median(arr, axis=(0, 1)) - arr) * np.clip(falloff, 0.0, 1.0)
+
+    img = PIL.Image.fromarray(np.uint8(np.clip(np.rint(arr), 0, 255)), "RGB")
+    return img, quad + pad[:2]
+
+
 def align_face(
     img: Union[str, PIL.Image.Image],
     landmarks: Optional[np.ndarray] = None,
@@ -99,8 +171,10 @@ def align_face(
     transform_size: int = 256,
     enable_padding: bool = True,
 ) -> PIL.Image.Image:
-    """FFHQ alignment (`alignment.py:30-146`): shrink, border crop,
-    reflect-pad with blur falloff, QUAD warp."""
+    """FFHQ alignment: shrink -> border crop -> feathered reflect-pad ->
+    QUAD warp. Output-parity counterpart of the reference's vendored
+    `src/alignment.py:30-146`; pinned by the golden tests in
+    `tests/test_host_align_tok.py`."""
     if isinstance(img, str):
         img = PIL.Image.open(img)
     img = img.convert("RGB")
@@ -110,62 +184,12 @@ def align_face(
         landmarks = landmark_fn(np.asarray(img))
     quad, qsize = align_quad(np.asarray(landmarks, np.float64))
 
-    # Shrink.
-    shrink = int(np.floor(qsize / output_size * 0.5))
-    if shrink > 1:
-        rsize = (
-            int(np.rint(float(img.size[0]) / shrink)),
-            int(np.rint(float(img.size[1]) / shrink)),
-        )
-        img = img.resize(rsize, PIL.Image.LANCZOS)
-        quad = quad / shrink
-        qsize /= shrink
+    img, quad, qsize = _shrink_stage(img, quad, qsize, output_size)
+    border = max(int(np.rint(qsize * _BORDER_FRAC)), 3)
+    img, quad = _crop_stage(img, quad, border)
+    if enable_padding:
+        img, quad = _pad_stage(img, quad, qsize, border)
 
-    # Crop.
-    border = max(int(np.rint(qsize * 0.1)), 3)
-    crop = (
-        int(np.floor(min(quad[:, 0]))), int(np.floor(min(quad[:, 1]))),
-        int(np.ceil(max(quad[:, 0]))), int(np.ceil(max(quad[:, 1]))),
-    )
-    crop = (
-        max(crop[0] - border, 0), max(crop[1] - border, 0),
-        min(crop[2] + border, img.size[0]), min(crop[3] + border, img.size[1]),
-    )
-    if crop[2] - crop[0] < img.size[0] or crop[3] - crop[1] < img.size[1]:
-        img = img.crop(crop)
-        quad -= crop[0:2]
-
-    # Pad.
-    pad = (
-        int(np.floor(min(quad[:, 0]))), int(np.floor(min(quad[:, 1]))),
-        int(np.ceil(max(quad[:, 0]))), int(np.ceil(max(quad[:, 1]))),
-    )
-    pad = (
-        max(-pad[0] + border, 0), max(-pad[1] + border, 0),
-        max(pad[2] - img.size[0] + border, 0), max(pad[3] - img.size[1] + border, 0),
-    )
-    if enable_padding and max(pad) > border - 4:
-        pad = np.maximum(pad, int(np.rint(qsize * 0.3)))
-        arr = np.pad(
-            np.float32(img), ((pad[1], pad[3]), (pad[0], pad[2]), (0, 0)), "reflect"
-        )
-        h, w, _ = arr.shape
-        y, x, _ = np.ogrid[:h, :w, :1]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mask = np.maximum(
-                1.0 - np.minimum(np.float32(x) / pad[0], np.float32(w - 1 - x) / pad[2]),
-                1.0 - np.minimum(np.float32(y) / pad[1], np.float32(h - 1 - y) / pad[3]),
-            )
-        mask = np.nan_to_num(mask, nan=1.0, posinf=1.0, neginf=1.0)
-        blur = qsize * 0.02
-        arr += (scipy.ndimage.gaussian_filter(arr, [blur, blur, 0]) - arr) * np.clip(
-            mask * 3.0 + 1.0, 0.0, 1.0
-        )
-        arr += (np.median(arr, axis=(0, 1)) - arr) * np.clip(mask, 0.0, 1.0)
-        img = PIL.Image.fromarray(np.uint8(np.clip(np.rint(arr), 0, 255)), "RGB")
-        quad += pad[:2]
-
-    # Transform.
     img = img.transform(
         (transform_size, transform_size), PIL.Image.QUAD,
         (quad + 0.5).flatten(), PIL.Image.BILINEAR,

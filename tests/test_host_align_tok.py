@@ -87,3 +87,31 @@ def test_tokenizer_batch_call():
     out = tok(["a", "bb"])
     assert out.shape == (2, 16)
     assert out.dtype == np.int32
+
+
+def test_align_face_golden_parity():
+    """Golden pin: the staged/vectorized align_face reproduces the r1
+    implementation byte-for-byte on cases covering shrink, crop, feathered
+    reflect-pad (and the no-padding path)."""
+    import os
+
+    from diffusion_image_editing_tpu.host.alignment import align_face
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "data", "align_golden.npz"))
+    img = Image.fromarray(data["img"], "RGB")
+    lm = data["lm"]
+
+    out = np.asarray(align_face(img, landmarks=lm, output_size=64, transform_size=128))
+    np.testing.assert_array_equal(out, data["out"])
+
+    out2 = np.asarray(
+        align_face(img, landmarks=lm, output_size=64, transform_size=64,
+                   enable_padding=False)
+    )
+    np.testing.assert_array_equal(out2, data["out2"])
+
+    img_big = img.resize((704, 704), Image.LANCZOS)
+    out3 = np.asarray(
+        align_face(img_big, landmarks=data["lm_big"], output_size=32, transform_size=32)
+    )
+    np.testing.assert_array_equal(out3, data["out3"])
