@@ -15,6 +15,7 @@ from .data import (  # noqa: F401
     SyntheticFaceMask,
     batch_iterator,
     merge_part_masks,
+    multi_scale,
     preprocess_celebamask,
     train_transform,
 )

@@ -109,6 +109,13 @@ def random_crop(im, lb, rng, size: Tuple[int, int]):
     return im.crop(box), lb.crop(box)
 
 
+def multi_scale(im, scales: Sequence[float]) -> List[Image.Image]:
+    """Multi-scale evaluation pyramid (`transform.py:96-119`): bilinear
+    resizes of `im` at each ratio, for scale-averaged inference."""
+    w, h = im.size
+    return [im.resize((int(w * r), int(h * r)), Image.BILINEAR) for r in scales]
+
+
 def train_transform(im, lb, rng, crop_size=(448, 448)):
     """The training Compose of `face_dataset.py:35-42`."""
     im = color_jitter(im, rng)

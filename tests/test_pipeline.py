@@ -292,3 +292,23 @@ def test_cli_metrics_attribute_eval(capsys):
             F.get_pretrained_anygan = orig_any
     out = capsys.readouterr().out
     assert "%" in out and ":" in out
+
+
+def test_eta0_ddpm_inversion_edit_path():
+    """eta=0 DDPM inversion (deterministic forward-step loop, xts/zs None)
+    must flow through edit_image end-to-end (reference ddpm_inversion.py:58-77
+    with Tskip=None semantics)."""
+    w = make_ddpm(clip_sample=False)
+    pipe = EditPipeline(w, None)
+    img = jnp.zeros((1, 16, 16, 3))
+    xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
+        img, eta=0.0, inversion_method="ddpm", key=jax.random.PRNGKey(0)
+    )
+    assert zs is None and xts is None
+    attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=1.0, t1=0, t2=STEPS)
+    out = pipe.edit_image(
+        xt, eta=0.0, zs=zs, xts=xts, mask=mask, attr_func=attr,
+        inversion_method="ddpm", t_skip=3, key=jax.random.PRNGKey(0),
+    )
+    assert out.imgs.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out.imgs)).all()

@@ -199,3 +199,14 @@ def test_train_loop_resume_continues_from_checkpoint(tmp_path):
     _, state2, losses2 = train_loop(cfg, data(), ckpt_dir=ckpt, num_steps=8, seed=0)
     assert int(state2.step) == 8
     assert len(losses2) == 4  # resumed at 4, ran only 4 more
+
+
+def test_multi_scale_transform():
+    """Multi-scale eval pyramid (reference transform.py:96-119)."""
+    from PIL import Image
+
+    from diffusion_image_editing_tpu.seg import multi_scale
+
+    im = Image.new("RGB", (100, 60))
+    outs = multi_scale(im, (0.5, 1.0, 1.5))
+    assert [o.size for o in outs] == [(50, 30), (100, 60), (150, 90)]
