@@ -2,5 +2,10 @@
 test:
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -x -q
 
+# Full-size numeric weight-port parity (slow, ~10 min on one CPU core):
+# full SD-1.5 / DDPM-celebahq / LDM torch mirrors vs the Flax models.
+test-full-port:
+	PALLAS_AXON_POOL_IPS= DIE_TPU_FULL_PORT=1 python -m pytest tests/test_full_port.py -x -q
+
 bench:
 	python bench.py
