@@ -1,21 +1,31 @@
-"""Attention ops: jnp reference + Pallas TPU flash-attention kernel.
+"""Attention ops: jnp reference + Pallas TPU flash-attention kernels.
 
 TPU-native replacement for the reference UNets' attention layers (the
 reference relies on diffusers' torch attention; here the hot path is a
-blockwise online-softmax Pallas kernel that keeps the score matrix in VMEM).
+blockwise online-softmax Pallas kernel that streams K/V blocks through VMEM).
 
 Layout convention: (B, S, H, D) — batch, sequence, heads, head_dim.
 
-The differentiable path uses `jax.custom_vjp`: Pallas forward, backward by
-recomputation with the jnp reference (guidance gradients flow through the VAE
-decoder's attention, never through the UNet — see SURVEY.md §3.2 — so the
-backward is off the hot loop).
+Forward: grid (batch*heads, q_blocks, k_blocks) with the K axis innermost;
+the online-softmax state (accumulator, running max, running sum) lives in
+VMEM scratch and persists across the K grid steps, so K/V never need to fit
+in VMEM whole — this is what lets the SD VAE decoder's 4096-token × 512-dim
+attention (inside the per-step guidance VJP, SURVEY.md §3.2) run on the MXU
+without materialising the 4096×4096 score matrix in HBM.
+
+Backward: `jax.custom_vjp` with two recompute-style Pallas kernels (the
+standard flash-attention backward): the forward also emits the per-row
+log-sum-exp, and the backward recomputes P = exp(S - lse) blockwise to form
+dQ (grid over K blocks) and dK/dV (grid over Q blocks). Shapes whose
+sequence lengths don't divide the block sizes (e.g. the 77-token CLIP
+cross-attention K) fall back to the exact jnp reference in both directions.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import os
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _NEG_INF = -1e30
+_LANES = 128
 
 
 def attention_reference(
@@ -48,113 +59,333 @@ def attention_reference(
     return out
 
 
-# ---------------------------------------------------------------------------
-# Pallas flash attention (forward)
-# ---------------------------------------------------------------------------
-
-
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    """One (batch*head, q-block) program: online-softmax over k blocks.
-
-    q_ref: (1, block_q, D); k_ref/v_ref: (1, S, D) — the full K/V for this
-    head resident in VMEM. Scaling is applied to q inside the kernel.
-    """
-    # Matmul inputs stay in the storage dtype (bf16 runs the MXU at full
-    # rate); accumulation and softmax statistics are fp32.
-    q = q_ref[0]
-    s_k = k_ref.shape[1]
-    block_q, d = q.shape
-    num_kb = s_k // block_k
-
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k) fp32
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot(
-            p.astype(vb.dtype), vb, preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
-
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-
-
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_attention_fwd_impl(
-    q: Array, k: Array, v: Array, scale: float, interpret: bool
-) -> Array:
+class _Plan(NamedTuple):
+    block_q: int
+    block_k: int
+    d_pad: int
+
+
+def _plan(
+    s_q: int,
+    s_k: int,
+    d: int,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> Optional[_Plan]:
+    """Choose block sizes; None when the shape can't use the kernels.
+
+    Head-dim zero-padding is always safe (adds 0 to every logit); sequence
+    lengths must divide the block sizes exactly — zero-padded K rows would
+    corrupt the softmax — so non-dividing shapes use the jnp reference.
+    """
+    if block_q is None:
+        block_q = int(os.environ.get("DIE_TPU_ATTN_BLOCK_Q", "256"))
+    if block_k is None:
+        block_k = int(os.environ.get("DIE_TPU_ATTN_BLOCK_K", "512"))
+    block_q = min(block_q, _round_up(s_q, 8))
+    block_k = min(block_k, s_k)
+    if s_q % block_q or s_k % block_k or block_k % _LANES:
+        return None
+    return _Plan(block_q, block_k, _round_up(d, _LANES))
+
+
+def _split_heads(x: Array, d_pad: int) -> Array:
+    """(B, S, H, D) -> (B*H, S, D_pad)."""
+    b, s, h, d = x.shape
+    if d_pad != d:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, d_pad - d)])
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d_pad)
+
+
+def _merge_heads(x: Array, b: int, h: int, d: int) -> Array:
+    """(B*H, S, D_pad) -> (B, S, H, D)."""
+    bh, s, d_pad = x.shape
+    x = x.reshape(b, h, s, d_pad).transpose(0, 2, 1, 3)
+    return x[..., :d]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: grid (B*H, n_q, n_k), K innermost; state in VMEM scratch.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale):
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # Matmul inputs stay in the storage dtype (bf16 runs the MXU at full
+    # rate); accumulation and softmax statistics are fp32.
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    s = (
+        jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (block_q, block_k) fp32
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == n_k - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:, 0] + jnp.log(l[:, 0])
+
+
+def _flash_fwd(
+    q: Array, k: Array, v: Array, scale: float, plan: _Plan, interpret: bool
+):
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
+    block_q, block_k, d_pad = plan
 
-    # Head-dim zero-padding is always safe (adds 0 to every logit); sequence
-    # lengths must divide the block sizes exactly — zero-padded K rows would
-    # corrupt the softmax — so non-dividing shapes fall back to the reference.
-    import os
+    qh = _split_heads(q, d_pad)
+    kh = _split_heads(k, d_pad)
+    vh = _split_heads(v, d_pad)
+    bh = b * h
 
-    d_pad = _round_up(d, 128)
-    bq = int(os.environ.get("DIE_TPU_ATTN_BLOCK_Q", "256"))
-    bk = int(os.environ.get("DIE_TPU_ATTN_BLOCK_K", "512"))
-    block_q = min(bq, _round_up(s_q, 8))
-    block_k = min(bk, s_k)
-    if s_q % block_q or s_k % block_k:
-        raise _FallbackToReference()
-
-    if d_pad != d:
-        pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
-    # (B, S, H, D) -> (B*H, S, D)
-    qh = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d_pad)
-    kh = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d_pad)
-    vh = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d_pad)
-
-    grid = (b * h, s_q // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_q, d_pad), q.dtype),
+    grid = (bh, s_q // block_q, s_k // block_k)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s_q, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_q), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+        ],
         interpret=interpret,
     )(qh, kh, vh)
+    return _merge_heads(out, b, h, d), out, lse
 
-    out = out.reshape(b, h, s_q, d_pad).transpose(0, 2, 1, 3)
-    return out[..., :d]
+
+# ---------------------------------------------------------------------------
+# Backward kernels (recompute-style): dQ over K blocks; dK/dV over Q blocks.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale
+):
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]  # (block_q, 1)
+    delta = delta_ref[0][:, None]
+
+    s = (
+        jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    p = jnp.exp(s - lse)  # (block_q, block_k)
+    dp = jax.lax.dot_general(
+        do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dq_acc[...] += (
+        jax.lax.dot(ds.astype(kb.dtype), kb, preferred_element_type=jnp.float32)
+        * scale
+    )
+
+    @pl.when(k_idx == n_k - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale
+):
+    q_idx = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    s = (
+        jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    p = jnp.exp(s - lse)  # (block_q, block_k)
+    # dV += P^T @ dO
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    # dK += dS^T @ Q * scale
+    dk_acc[...] += (
+        jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+
+    @pl.when(q_idx == n_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(
+    q: Array,
+    k: Array,
+    v: Array,
+    out_h: Array,
+    lse: Array,
+    g: Array,
+    scale: float,
+    plan: _Plan,
+    interpret: bool,
+):
+    b, s_q, h, d = q.shape
+    s_k = k.shape[1]
+    block_q, block_k, d_pad = plan
+    bh = b * h
+
+    qh = _split_heads(q, d_pad)
+    kh = _split_heads(k, d_pad)
+    vh = _split_heads(v, d_pad)
+    doh = _split_heads(g, d_pad)
+    # delta_i = sum_d dO_i * O_i (one fused elementwise pass; fp32)
+    delta = jnp.sum(doh.astype(jnp.float32) * out_h.astype(jnp.float32), axis=-1)
+
+    q_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),  # q
+        pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),  # k
+        pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),  # v
+        pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),  # do
+        pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j)),  # lse
+        pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j)),  # delta
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d_pad), q.dtype),
+        grid=(bh, s_q // block_q, s_k // block_k),
+        in_specs=q_specs,
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, delta)
+
+    kv_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda i, kk, j: (i, j, 0)),  # q
+        pl.BlockSpec((1, block_k, d_pad), lambda i, kk, j: (i, kk, 0)),  # k
+        pl.BlockSpec((1, block_k, d_pad), lambda i, kk, j: (i, kk, 0)),  # v
+        pl.BlockSpec((1, block_q, d_pad), lambda i, kk, j: (i, j, 0)),  # do
+        pl.BlockSpec((1, block_q), lambda i, kk, j: (i, j)),  # lse
+        pl.BlockSpec((1, block_q), lambda i, kk, j: (i, j)),  # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s_k, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_k, d_pad), v.dtype),
+        ),
+        grid=(bh, s_k // block_k, s_q // block_q),
+        in_specs=kv_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_pad), lambda i, kk, j: (i, kk, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, kk, j: (i, kk, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, delta)
+
+    return (
+        _merge_heads(dq, b, h, d),
+        _merge_heads(dk, b, h, d),
+        _merge_heads(dv, b, h, d),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public differentiable entry point
+# ---------------------------------------------------------------------------
 
 
 class _FallbackToReference(Exception):
     pass
 
 
-# K+V for one head must fit comfortably in VMEM (~16MB/core) next to the
-# q/score/accumulator blocks; beyond this the Mosaic kernel spills and loses
-# badly to XLA (measured: SD VAE decoder attention, 4096 tokens x 512 dim).
-_KV_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
-
-
-def _pallas_profitable(s_k: int, d: int) -> bool:
-    d_pad = _round_up(d, 128)
-    return 2 * s_k * d_pad * 4 <= _KV_VMEM_BUDGET_BYTES
+def _flash_attention_fwd_impl(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    interpret: bool,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> Array:
+    """Forward-only kernel entry (kept for tests/benchmarks)."""
+    plan = _plan(q.shape[1], k.shape[1], q.shape[-1], block_q, block_k)
+    if plan is None:
+        raise _FallbackToReference()
+    out, _, _ = _flash_fwd(q, k, v, scale, plan, interpret)
+    return out
 
 
 def _supports_pallas() -> bool:
@@ -163,24 +394,34 @@ def _supports_pallas() -> bool:
     return supports_pallas("attn")
 
 
+def _interpret_mode() -> bool:
+    # Interpret-mode lets the kernels (and their VJP) run on CPU in tests.
+    return os.environ.get("DIE_TPU_ATTN_INTERPRET", "0").lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention(q, k, v, scale, use_pallas):
     return _attention_fwd(q, k, v, scale, use_pallas)[0]
 
 
 def _attention_fwd(q, k, v, scale, use_pallas):
-    if use_pallas:
-        try:
-            out = _flash_attention_fwd_impl(q, k, v, scale, interpret=False)
-        except _FallbackToReference:
-            out = attention_reference(q, k, v, scale)
-    else:
-        out = attention_reference(q, k, v, scale)
-    return out, (q, k, v)
+    plan = _plan(q.shape[1], k.shape[1], q.shape[-1]) if use_pallas else None
+    if plan is not None:
+        out, out_h, lse = _flash_fwd(q, k, v, scale, plan, _interpret_mode())
+        return out, (q, k, v, out_h, lse)
+    return attention_reference(q, k, v, scale), (q, k, v, None, None)
 
 
 def _attention_bwd(scale, use_pallas, res, g):
-    q, k, v = res
+    q, k, v, out_h, lse = res
+    plan = _plan(q.shape[1], k.shape[1], q.shape[-1]) if use_pallas else None
+    if plan is not None and out_h is not None:
+        return _flash_bwd(q, k, v, out_h, lse, g, scale, plan, _interpret_mode())
     _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
     return vjp(g)
 
@@ -196,12 +437,14 @@ def attention(
     causal: bool = False,
     use_pallas: Optional[bool] = None,
 ) -> Array:
-    """Multi-head attention, (B, S, H, D). Pallas flash kernel on TPU,
-    exact jnp reference elsewhere (and for causal masks)."""
+    """Multi-head attention, (B, S, H, D). Pallas flash kernel on TPU
+    (forward AND backward), exact jnp reference elsewhere (and for causal
+    masks and block-ragged sequence lengths like the 77-token CLIP context)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if causal:
         return attention_reference(q, k, v, scale, causal=True)
     if use_pallas is None:
-        use_pallas = _supports_pallas() and _pallas_profitable(k.shape[1], q.shape[-1])
-    return _attention(q, k, v, float(scale), bool(use_pallas))
+        use_pallas = _supports_pallas()
+    use_pallas = bool(use_pallas) and _plan(q.shape[1], k.shape[1], q.shape[-1]) is not None
+    return _attention(q, k, v, float(scale), use_pallas)

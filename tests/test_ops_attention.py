@@ -1,10 +1,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from diffusion_image_editing_tpu.ops.attention import (
     _flash_attention_fwd_impl,
+    _flash_bwd,
+    _flash_fwd,
+    _plan,
     attention,
     attention_reference,
 )
@@ -44,6 +48,85 @@ def test_flash_kernel_interpret_matches_reference():
     scale = d**-0.5
     out = _flash_attention_fwd_impl(q, k, v, scale, interpret=True)
     ref = attention_reference(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "b,s,h,d,block_q,block_k",
+    [
+        (1, 256, 2, 40, 64, 128),  # SD head_dim 40, 2 k-blocks streamed
+        (2, 512, 1, 160, 128, 128),  # 4 k-blocks, multi-batch
+        (1, 1024, 1, 512, 256, 256),  # VAE-decoder-like: wide single head
+    ],
+)
+def test_kblocked_forward_matches_reference(b, s, h, d, block_q, block_k):
+    q, k, v = _rand(20, (b, s, h, d)), _rand(21, (b, s, h, d)), _rand(22, (b, s, h, d))
+    scale = d**-0.5
+    plan = _plan(s, s, d, block_q, block_k)
+    assert plan is not None and s // block_k >= 2  # streaming actually exercised
+    out, _, lse = _flash_fwd(q, k, v, scale, plan, interpret=True)
+    ref = attention_reference(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    # lse must equal logsumexp of the scaled logits rowwise
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    ref_lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (b, h, s)
+    ref_lse = np.asarray(ref_lse).reshape(b * h, s)
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "b,s,h,d,block_q,block_k",
+    [
+        (1, 256, 2, 40, 64, 128),
+        (1, 512, 1, 512, 128, 128),  # VAE-decoder shape class
+    ],
+)
+def test_pallas_backward_matches_reference_grads(b, s, h, d, block_q, block_k):
+    q, k, v = _rand(30, (b, s, h, d)), _rand(31, (b, s, h, d)), _rand(32, (b, s, h, d))
+    g = _rand(33, (b, s, h, d))
+    scale = d**-0.5
+    plan = _plan(s, s, d, block_q, block_k)
+    assert plan is not None
+    _, out_h, lse = _flash_fwd(q, k, v, scale, plan, interpret=True)
+    dq, dk, dv = _flash_bwd(q, k, v, out_h, lse, g, scale, plan, interpret=True)
+
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-3, atol=2e-4)
+
+
+def test_custom_vjp_pallas_path_interpret(monkeypatch):
+    """End-to-end: attention() with the Pallas path forced, grads via the
+    Pallas backward kernels (interpret mode so it runs on CPU)."""
+    monkeypatch.setenv("DIE_TPU_ATTN_INTERPRET", "1")
+    monkeypatch.setenv("DIE_TPU_ATTN_BLOCK_Q", "64")
+    monkeypatch.setenv("DIE_TPU_ATTN_BLOCK_K", "128")
+    b, s, h, d = 1, 256, 2, 40
+    q, k, v = _rand(40, (b, s, h, d)), _rand(41, (b, s, h, d)), _rand(42, (b, s, h, d))
+
+    def f(q_, k_, v_):
+        return jnp.sum(attention(q_, k_, v_, use_pallas=True) ** 2)
+
+    gq, gk, gv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gq_r, gk_r, gv_r = jax.grad(
+        lambda q_, k_, v_: jnp.sum(attention_reference(q_, k_, v_) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_r), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r), rtol=2e-3, atol=2e-4)
+
+
+def test_ragged_kv_falls_back_to_reference():
+    """77-token CLIP cross-attention context must route to the exact path."""
+    b, s_q, s_k, h, d = 1, 64, 77, 2, 40
+    q = _rand(50, (b, s_q, h, d))
+    k, v = _rand(51, (b, s_k, h, d)), _rand(52, (b, s_k, h, d))
+    assert _plan(s_q, s_k, d) is None
+    out = attention(q, k, v, use_pallas=True)  # must not error
+    ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
