@@ -91,23 +91,34 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """Latent -> image decoder.
+
+    `remat=True` checkpoints every block: the guidance VJP (decode sits inside
+    the per-step `jax.grad`, `src/attr_functions.py:112-118`) then keeps only
+    block-boundary activations live instead of every conv/norm intermediate —
+    the fix for the batch>=2 512px guided-edit memory cliff on a 16GB chip.
+    `nn.remat` preserves parameter paths, so the same params serve both modes.
+    """
+
     config: AutoencoderConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: Array) -> Array:
+    def __call__(self, z: Array, remat: bool = False) -> Array:
         cfg = self.config
+        Res = nn.remat(ResnetBlock2D) if remat else ResnetBlock2D
+        Attn = nn.remat(AttentionBlock2D) if remat else AttentionBlock2D
         reversed_out = list(reversed(cfg.block_out_channels))
         c = reversed_out[0]
         h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock2D(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_0")(h)
+        h = Res(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_0")(h)
         if cfg.mid_attention:
-            h = AttentionBlock2D(None, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_1")(h)
+            h = Attn(None, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_attn")(h)
+        h = Res(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_1")(h)
         for i, out_ch in enumerate(reversed_out):
             is_final = i == len(reversed_out) - 1
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock2D(
+                h = Res(
                     out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",
                 )(h)
@@ -145,8 +156,8 @@ class AutoencoderKL(nn.Module):
         mean, logvar = self.encode_moments(x)
         return mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
 
-    def decode(self, z: Array) -> Array:
-        return self.decoder(self.post_quant_conv(z))
+    def decode(self, z: Array, remat: bool = False) -> Array:
+        return self.decoder(self.post_quant_conv(z), remat=remat)
 
     def __call__(self, x: Array) -> Array:
         return self.decode(self.encode(x))
@@ -198,9 +209,11 @@ class VQModel(nn.Module):
     def encode(self, x: Array) -> Array:
         return self.quant_conv(self.encoder(x))
 
-    def decode(self, h: Array, force_not_quantize: bool = False) -> Array:
+    def decode(
+        self, h: Array, force_not_quantize: bool = False, remat: bool = False
+    ) -> Array:
         q = h if force_not_quantize else self.quantize(h)
-        return self.decoder(self.post_quant_conv(q))
+        return self.decoder(self.post_quant_conv(q), remat=remat)
 
     def __call__(self, x: Array) -> Array:
         return self.decode(self.encode(x))

@@ -204,6 +204,7 @@ class EditPipeline:
         key: Optional[Array] = None,
         collect: bool = True,
         mode: str = "split",
+        decode_remat: str = "auto",
     ) -> EditorOutput:
         """Guided denoise of (possibly edited) noise maps
         (`SegDiffEditPipeline.py:202-302`).
@@ -211,7 +212,11 @@ class EditPipeline:
         mode="split" (default) runs two small jitted programs per step —
         measured ~3x faster than mode="fused" (one jitted lax.scan) on v5e
         because Pallas kernels inside scan lose pipelining; "fused" remains
-        available for single-dispatch deployment."""
+        available for single-dispatch deployment.
+
+        decode_remat: "auto" checkpoints each VAE-decoder block inside the
+        guidance VJP when batch >= 2 (the 16GB memory cliff); "blocks" forces
+        it on, "none" off."""
         self.check_inputs(attr_func, eta, mask, resynthesize, zs)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -229,15 +234,22 @@ class EditPipeline:
         eps_fn = w.eps_fn(text_emb, cfg_scale)
         step_rule = "ddpm" if (inversion_method == "ddpm" and t_skip is not None) else "ddim"
 
+        if decode_remat not in ("auto", "blocks", "none"):
+            raise ValueError(f"Unknown decode_remat: {decode_remat}")
+        remat_blocks = decode_remat == "blocks" or (
+            decode_remat == "auto" and xt.shape[0] >= 2
+        )
+        dec_fn = w.decode_fn(remat_blocks=remat_blocks)
+
         if mode == "split":
             result = run_edit_split(
                 sched, eps_fn, xt, eta=eta, zs=zs, attr_func=attr_func,
-                decode_fn=w.decode_fn(), mask=mask, x0_ref=x0_ref,
+                decode_fn=dec_fn, mask=mask, x0_ref=x0_ref,
                 step_rule=step_rule, collect=collect,
             )
         else:
             result = _jit_edit(
-                sched, eps_fn, w.decode_fn(), xt,
+                sched, eps_fn, dec_fn, xt,
                 zs if zs is not None else jnp.zeros((0,) + xt.shape, xt.dtype),
                 attr_func, mask, x0_ref,
                 eta=eta, step_rule=step_rule, collect=collect, has_zs=zs is not None,

@@ -41,14 +41,19 @@ class DiffusionWrapper:
         self._unet_apply = unet_module.apply
         self._encode_closure = EncodeClosure()
         self._decode_closure = DecodeClosure()
+        self._decode_closure_remat = DecodeClosure()
 
     # ---- codec boundary --------------------------------------------------
     def encode_fn(self) -> EncodeClosure:
         return self._encode_closure
 
-    def decode_fn(self) -> DecodeClosure:
-        """Differentiable latent->image pytree callable for guidance."""
-        return self._decode_closure
+    def decode_fn(self, remat_blocks: bool = False) -> DecodeClosure:
+        """Differentiable latent->image pytree callable for guidance.
+
+        `remat_blocks=True` returns a decode whose VJP checkpoints each
+        decoder block (same params; see `models.vae.Decoder`) — required for
+        batch>=2 512px guided edits on a 16GB chip."""
+        return self._decode_closure_remat if remat_blocks else self._decode_closure
 
     def encode(self, sample: Array) -> Array:
         return self.encode_fn()(sample)
@@ -172,6 +177,9 @@ class LDM(DiffusionWrapper):
         self._decode_closure = DecodeClosure(
             lambda p, z: apply(p, z, method="decode"), self.vqvae_params
         )
+        self._decode_closure_remat = DecodeClosure(
+            lambda p, z: apply(p, z, remat=True, method="decode"), self.vqvae_params
+        )
 
 
 class SD(DiffusionWrapper):
@@ -200,6 +208,11 @@ class SD(DiffusionWrapper):
         )
         self._decode_closure = DecodeClosure(
             lambda p, z: apply(p, z, method="decode"), self.vae_params, scale=sf
+        )
+        self._decode_closure_remat = DecodeClosure(
+            lambda p, z: apply(p, z, remat=True, method="decode"),
+            self.vae_params,
+            scale=sf,
         )
 
     def encode_text_ids(self, input_ids: Array) -> Array:

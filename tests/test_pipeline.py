@@ -312,3 +312,42 @@ def test_eta0_ddpm_inversion_edit_path():
     )
     assert out.imgs.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out.imgs)).all()
+
+
+def test_decoder_remat_blocks_same_params_same_output():
+    """decode(remat=True) must reuse the exact same params (nn.remat preserves
+    parameter paths) and produce identical forward values; its VJP must match
+    the non-remat VJP (it only changes what is saved, not the math)."""
+    w = make_sd()
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 4)) * 0.3
+    dec = w.decode_fn()
+    dec_r = w.decode_fn(remat_blocks=True)
+
+    out = dec(z)
+    out_r = dec_r(z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), rtol=1e-6, atol=1e-6)
+
+    g = jax.grad(lambda z_: jnp.sum(dec(z_) ** 2))(z)
+    g_r = jax.grad(lambda z_: jnp.sum(dec_r(z_) ** 2))(z)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-5, atol=1e-5)
+
+
+def test_edit_image_decode_remat_auto_batch2():
+    """Batch-2 guided SD edit routes through the blocks-remat decode (auto)
+    and matches the decode_remat='none' result exactly."""
+    w = make_sd()
+    pipe = EditPipeline(w, None)
+    xt = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 4))
+    prompt_ids = jnp.zeros((2, 8), jnp.int32)
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=2.0, t1=0, t2=STEPS)
+    out_auto = pipe.edit_image(
+        xt, attr_func=attr, prompt_ids=prompt_ids, mask=None, resynthesize=False
+    )
+    out_none = pipe.edit_image(
+        xt, attr_func=attr, prompt_ids=prompt_ids, mask=None, resynthesize=False,
+        decode_remat="none",
+    )
+    assert out_auto.imgs.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_auto.imgs), np.asarray(out_none.imgs), rtol=1e-5, atol=1e-5
+    )
