@@ -1,0 +1,98 @@
+"""CFG-pair + spatial sharding of the single-image guided edit step.
+
+Runs on the 8-virtual-device CPU mesh (conftest). The sharded closures must
+be numerically identical to the unsharded ones — sharding constraints change
+placement, never math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_image_editing_tpu.core import make_schedule
+from diffusion_image_editing_tpu.engine import make_cfg_eps_fn
+from diffusion_image_editing_tpu.engine.edit import edit_split
+from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+from diffusion_image_editing_tpu.models import (
+    AutoencoderConfig,
+    AutoencoderKL,
+    UNet2DCondition,
+    UNet2DConditionConfig,
+)
+from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+from diffusion_image_editing_tpu.parallel import (
+    cfg_mesh,
+    make_sharded_cfg_eps_fn,
+    shard_decode_fn,
+)
+
+STEPS = 3
+
+
+def _setup():
+    ucfg = UNet2DConditionConfig(
+        sample_size=16,
+        block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1,
+        attention_head_dim=2,
+        cross_attention_dim=16,
+        norm_num_groups=8,
+    )
+    vcfg = AutoencoderConfig(
+        latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+        norm_num_groups=4, sample_size=32,
+    )
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(vcfg)
+    k = jax.random.PRNGKey(0)
+    uparams = unet.init(k, jnp.zeros((1, 16, 16, 4)), jnp.int32(0), jnp.zeros((1, 7, 16)))
+    vparams = vae.init(jax.random.fold_in(k, 1), jnp.zeros((1, 32, 32, 3)))
+    text_emb = jax.random.normal(jax.random.fold_in(k, 2), (2, 7, 16))
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False)
+    vae_apply = vae.apply
+    decode_fn = DecodeClosure(
+        lambda p, z: vae_apply(p, z, method="decode"), vparams, scale=0.18215
+    )
+    return unet, uparams, vae, vparams, text_emb, sched, decode_fn
+
+
+def test_cfg_pair_sharded_eps_matches_unsharded():
+    unet, uparams, _, _, text_emb, _, _ = _setup()
+    mesh = cfg_mesh(cfg=2, sp=4)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
+    t = jnp.int32(500)
+
+    plain = make_cfg_eps_fn(unet.apply, uparams, text_emb, cfg_scale=3.5)
+    sharded = make_sharded_cfg_eps_fn(unet.apply, uparams, text_emb, 3.5, mesh)
+
+    e0 = jax.jit(lambda f, x_, t_: f(x_, t_))(plain, x, t)
+    e1 = jax.jit(lambda f, x_, t_: f(x_, t_))(sharded, x, t)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_guided_edit_step_parity():
+    """Full guided edit (denoise + VAE-grad guidance) over the cfg x sp mesh
+    equals the single-device run — the flagship SD-architecture edit under a
+    mesh (VERDICT item 3)."""
+    unet, uparams, _, _, text_emb, sched, decode_fn = _setup()
+    mesh = cfg_mesh(cfg=2, sp=4)
+    xt = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 4))
+    attr = SingleColorAttrFunc(target=0.8, color_idx=0, loss_scale=5.0, t1=0, t2=STEPS)
+
+    plain_eps = make_cfg_eps_fn(unet.apply, uparams, text_emb, cfg_scale=3.5)
+    out_plain = edit_split(
+        sched, plain_eps, xt, attr_func=attr, decode_fn=decode_fn
+    ).x0
+
+    sharded_eps = make_sharded_cfg_eps_fn(unet.apply, uparams, text_emb, 3.5, mesh)
+    sharded_dec = shard_decode_fn(decode_fn, mesh)
+    out_sharded = edit_split(
+        sched, sharded_eps, xt, attr_func=attr, decode_fn=sharded_dec
+    ).x0
+
+    assert np.isfinite(np.asarray(out_sharded)).all()
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_sharded), rtol=5e-5, atol=5e-5
+    )
