@@ -1,6 +1,6 @@
 """Headline benchmark: denoise steps/sec/chip for the SD-1.5 512px guided edit.
 
-Runs the real workload (BASELINE.json): the full 50-step guided-edit scan on
+Runs the real workload (BASELINE.json): the full 50-step guided-edit loop on
 the SD-1.5 architecture — per step: batched-2 CFG UNet forward at 64x64x4
 latents (512 px) + DDIM update + colour-guidance gradient through the full SD
 VAE decoder — on one TPU chip in bfloat16. Weight values don't affect timing,
@@ -12,30 +12,38 @@ target — 50-step inversion+edit < 2 s on a v5e-8 — implies 25 steps/s on 8
 chips ~= 3.125 steps/s/chip, used as the comparison denominator.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+
+extras (secondary operating points, VERDICT r1 items 2/3/9):
+  e2e_invert_edit_s   — wall-clock for the FULL 50-step DDPM inversion +
+                        50-step guided edit of ONE 512px image on one chip
+                        (the literal north-star workload, single-chip bound)
+  batchN_steps_s      — aggregate latent-steps/s at batch N with the
+                        per-block-remat decoder (the 16GB memory-cliff fix)
+  seg_steps_s         — steps/s with BiSeNet-512 parsing guidance in the
+                        loop (NetAttrFunc: seg fwd+bwd through the VJP)
+
+Phases are selectable: DIE_BENCH_PHASES=headline,e2e,batch,seg (default all
+on TPU; on the CPU fallback only headline runs, tiny shapes).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_STEPS_PER_SEC_PER_CHIP = 3.125
 STEPS = 50
 
 
-def build_edit_step(tiny: bool):
-    """One guided-edit step, jitted: CFG UNet + DDIM update + colour-guidance
-    gradient through the VAE decoder. Compiling a single step (instead of the
-    full 50-step scan) keeps bench startup short; the scan body is identical,
-    so steady-state step time is the same."""
-    from diffusion_image_editing_tpu.core import ddim_step, schedule_for_model
-    from diffusion_image_editing_tpu.engine import make_cfg_eps_fn
-    from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+def _build_models(tiny: bool):
+    from diffusion_image_editing_tpu.core import schedule_for_model
     from diffusion_image_editing_tpu.models import (
         SD15_UNET,
         SD_VAE,
@@ -74,84 +82,195 @@ def build_edit_step(tiny: bool):
         uparams = jax.jit(unet.init)(
             k, jnp.zeros(lat, dtype), jnp.int32(0), jnp.zeros((1, 77, ctx_dim), dtype)
         )
-        vparams = jax.jit(vae.init)(jax.random.fold_in(k, 1), jnp.zeros((1, vcfg.sample_size, vcfg.sample_size, 3), dtype))
-
+        vparams = jax.jit(vae.init)(
+            jax.random.fold_in(k, 1),
+            jnp.zeros((1, vcfg.sample_size, vcfg.sample_size, 3), dtype),
+        )
     text_emb = jax.random.normal(jax.random.fold_in(k, 2), (2, 77, ctx_dim), dtype)
-    eps_fn = make_cfg_eps_fn(unet.apply, uparams, text_emb, cfg_scale=3.5)
-
-    from diffusion_image_editing_tpu.pipeline.wrappers import DecodeClosure
-
-    vae_apply = vae.apply
-    decode_fn = DecodeClosure(
-        lambda p, z: vae_apply(p, z.astype(dtype), method="decode"), vparams,
-        scale=0.18215,
+    xt = jax.random.normal(jax.random.fold_in(k, 3), lat, jnp.float32)
+    return dict(
+        unet=unet, uparams=uparams, vae=vae, vparams=vparams, vcfg=vcfg,
+        text_emb=text_emb, sched=sched, xt=xt, dtype=dtype, ctx_dim=ctx_dim,
+        lat=lat,
     )
 
-    import os
 
-    remat = os.environ.get("DIE_BENCH_REMAT", "0") == "1"
-    attr = SingleColorAttrFunc(
-        target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS, remat_decode=remat
-    )
+def build_edit_step(tiny: bool, models=None, guidance: str = "color",
+                    decode_remat: str = "none"):
+    """One guided-edit step, jitted: CFG UNet + DDIM update + guidance
+    gradient through the VAE decoder. Compiling single steps (instead of the
+    full 50-step scan) keeps bench startup short AND is the measured-faster
+    split execution mode (PARITY.md); the math equals the scan body.
 
-    # Split-jit step functions (used by scripts/ for component profiling).
-    # The denoiser and codec are pytree callables passed as jit ARGUMENTS —
-    # weights are traced inputs, never HLO constants.
+    guidance: "color" (SingleColorAttrFunc) or "seg" (NetAttrFunc with a
+    reference-size BiSeNet-512 in the differentiated loss —
+    `src/attr_functions.py:202-219`, the product's flagship guidance).
+    decode_remat: "none" | "blocks" (per-block decoder checkpointing) |
+    "full" (whole-decode jax.checkpoint).
+    """
+    from diffusion_image_editing_tpu.core import ddim_step
+    from diffusion_image_editing_tpu.engine import make_cfg_eps_fn
+    from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+    from diffusion_image_editing_tpu.guidance import NetAttrFunc, SingleColorAttrFunc
+
+    m = models if models is not None else _build_models(tiny)
+    dtype, sched = m["dtype"], m["sched"]
+    eps_fn = make_cfg_eps_fn(m["unet"].apply, m["uparams"], m["text_emb"], cfg_scale=3.5)
+
+    vae_apply = m["vae"].apply
+    if decode_remat == "blocks":
+        decode_fn = DecodeClosure(
+            lambda p, z: vae_apply(p, z.astype(dtype), remat=True, method="decode"),
+            m["vparams"], scale=0.18215,
+        )
+    else:
+        decode_fn = DecodeClosure(
+            lambda p, z: vae_apply(p, z.astype(dtype), method="decode"),
+            m["vparams"], scale=0.18215,
+        )
+
+    if guidance == "seg":
+        from diffusion_image_editing_tpu.models.bisenet import BiSeNet
+        from diffusion_image_editing_tpu.ops.resize import (
+            imagenet_normalize,
+            to_unit_range,
+        )
+
+        width = 8 if tiny else 64  # 64 = the reference BiSeNet size
+        seg = BiSeNet(n_classes=19, width=width)
+        img_size = m["vcfg"].sample_size
+        sparams = jax.jit(seg.init)(
+            jax.random.PRNGKey(7), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        )
+        seg_apply = seg.apply
+
+        def seg_logits(p, img):
+            x = imagenet_normalize(to_unit_range(img.astype(jnp.float32)))
+            return seg_apply(p, x)[0]
+
+        attr = NetAttrFunc(
+            loss_scale=200.0, t1=0, t2=STEPS, seg_params=sparams,
+            seg_apply_fn=seg_logits, idx_for_class=(17,),
+            remat_decode=(decode_remat == "full"),
+        )
+    else:
+        attr = SingleColorAttrFunc(
+            target=0.9, color_idx=0, loss_scale=20.0, t1=0, t2=STEPS,
+            remat_decode=(decode_remat == "full"),
+        )
+
+    # Split-jit step functions (also used by scripts/ for component
+    # profiling). The denoiser and codec are pytree callables passed as jit
+    # ARGUMENTS — weights are traced inputs, never HLO constants.
     def denoise_step(eps_fn_, xt, t):
         eps = jax.lax.stop_gradient(eps_fn_(xt, t))
         x_new, _ = ddim_step(sched, xt, eps, t, eta=0.0)
         return x_new, eps
 
-    def guidance_nudge(dec_fn_, xt, eps, t, idx):
-        x_new, _ = attr.apply(xt, None, eps, t, idx, sched, dec_fn_)
+    def guidance_nudge(dec_fn_, attr_, xt, eps, t, idx):
+        x_new, _ = attr_.apply(xt, None, eps, t, idx, sched, dec_fn_)
         return x_new
 
-    xt = jax.random.normal(jax.random.fold_in(k, 3), lat, jnp.float32)
-    return jax.jit(denoise_step), jax.jit(guidance_nudge), eps_fn, decode_fn, xt, sched
+    return (
+        jax.jit(denoise_step), jax.jit(guidance_nudge), eps_fn, decode_fn, attr,
+        m["xt"], sched,
+    )
 
 
-def main():
-    backend = jax.default_backend()
-    tiny = backend == "cpu"
-    denoise_step, guidance_nudge, eps_fn, decode_fn, xt, sched = build_edit_step(tiny)
-
-    # Headline path: split per-step jits (denoise / guidance). Honest chained
-    # timing shows the split path at ~71 ms/step vs ~117 ms/step for the
-    # fused 50-step scan on this chip — XLA schedules the two smaller
-    # programs better than the monolithic scan body.
-    import numpy as np
-
-    timesteps = np.asarray(sched.timesteps)
-
-    def run_pass(x):
-        for i, t in enumerate(timesteps):
-            x, eps = denoise_step(eps_fn, x, jnp.int32(t))
-            x = guidance_nudge(decode_fn, x, eps, jnp.int32(t), jnp.int32(i))
-        return x
-
-    # Warm on a DIFFERENT latent than the timed passes, chain timed inputs,
-    # and force a device-to-host readback each pass: guards against transport
-    # layers that ack block_until_ready early or memoize identical calls.
-    run_pass(xt + 1.0).block_until_ready()
-
-    reps = 3
+def _timed_pass(run_pass, x_warm, x0, reps):
+    """Warm on a DIFFERENT latent than the timed passes, chain timed inputs,
+    and force a device-to-host readback each pass: guards against transport
+    layers that ack block_until_ready early or memoize identical calls."""
+    jax.block_until_ready(run_pass(x_warm))
     sink = 0.0
     t0 = time.perf_counter()
-    out = xt
+    out = x0
     for _ in range(reps):
         out = run_pass(out)
         sink += float(jnp.sum(out))  # D2H sync inside the timed region
     elapsed = (time.perf_counter() - t0) / reps
     assert jnp.isfinite(sink)
+    return elapsed
 
-    steps_per_sec = STEPS / elapsed
+
+def phase_guided_edit(tiny, models, guidance="color", decode_remat="none",
+                      batch=1, reps=3):
+    """steps/s for the 50-step guided edit at the given operating point."""
+    denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+        build_edit_step(tiny, models, guidance=guidance, decode_remat=decode_remat)
+    )
+    if batch > 1:
+        xt = jnp.repeat(xt, batch, axis=0)
+    timesteps = np.asarray(sched.timesteps)
+
+    def run_pass(x):
+        for i, t in enumerate(timesteps):
+            x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+            x = guidance_nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
+        return x
+
+    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+    return STEPS / elapsed
+
+
+def phase_e2e(tiny, models, reps=2):
+    """Wall-clock seconds for the literal north-star workload on one chip:
+    50-step edit-friendly DDPM inversion + 50-step guided edit, one 512px
+    image (BASELINE.md). Split per-step execution (the measured-fast mode)."""
+    from diffusion_image_editing_tpu.engine import ddpm_invert_split
+
+    denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+        build_edit_step(tiny, models, guidance="color", decode_remat="none")
+    )
+    timesteps = np.asarray(sched.timesteps)
+    key = jax.random.PRNGKey(5)
+
+    def run_pass(x0):
+        inv = ddpm_invert_split(sched, eps_fn, x0, eta=1.0, key=key)
+        x = inv.xt
+        for i, t in enumerate(timesteps):
+            x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+            x = guidance_nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
+        return x
+
+    return _timed_pass(run_pass, xt * 0.5, xt * 0.1, reps)
+
+
+def main():
+    backend = jax.default_backend()
+    tiny = backend == "cpu"
+    default_phases = "headline" if tiny else "headline,e2e,batch,seg"
+    phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
+    models = _build_models(tiny)
+    extras = {}
+
+    steps_per_sec = None
+    if "headline" in phases:
+        steps_per_sec = phase_guided_edit(tiny, models)
+    if "e2e" in phases:
+        extras["e2e_invert_edit_s"] = round(phase_e2e(tiny, models), 3)
+    if "batch" in phases:
+        for b in (2, 4):
+            sps = phase_guided_edit(
+                tiny, models, decode_remat="blocks", batch=b, reps=2
+            )
+            extras[f"batch{b}_steps_s"] = round(b * sps, 3)  # aggregate
+    if "seg" in phases:
+        extras["seg_steps_s"] = round(
+            phase_guided_edit(tiny, models, guidance="seg", reps=2), 3
+        )
+
     result = {
         "metric": "denoise steps/sec/chip (SD-1.5 512px guided edit, CFG + VAE-grad guidance)"
         + (" [TINY CPU FALLBACK]" if tiny else ""),
-        "value": round(steps_per_sec, 3),
+        "value": round(steps_per_sec, 3) if steps_per_sec is not None else None,
         "unit": "steps/s/chip",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 3)
+        if steps_per_sec is not None
+        else None,
     }
+    if extras:
+        result["extras"] = extras
     print(json.dumps(result))
 
 

@@ -150,3 +150,84 @@ def ddpm_sample(
     if collect:
         return x_final, traj
     return x_final
+
+
+# ---------------------------------------------------------------------------
+# Split-mode inversion: host loop of small per-step jitted programs.
+#
+# Same math as the scan versions above; on this TPU stack the split form is
+# the production-fast path (Pallas kernels inside `lax.scan` lose pipelining —
+# see CLAUDE.md rule 7 / PARITY.md perf notes), mirroring
+# `pipeline.edit_image(mode="split")`. Module-level jits keep function
+# identity stable so nothing retraces across calls.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+@jax.jit
+def _ddim_invert_step(sched, eps_fn, x, t):
+    eps = eps_fn(x, t)
+    return S.next_step(sched, x, eps, t)
+
+
+def ddim_invert_split(
+    sched: S.Schedule, eps_fn: EpsFn, x0: Array, num_steps: Optional[int] = None
+) -> Array:
+    """`ddim_invert` as a host loop over one jitted step (identical math)."""
+    n = num_steps or sched.num_inference_steps
+    ts = _np.asarray(sched.timesteps[-n:][::-1])  # ascending
+    x = x0
+    for t in ts:
+        x = _ddim_invert_step(sched, eps_fn, x, jnp.int32(t))
+    return x
+
+
+@jax.jit
+def _ddpm_forward_step(sched, eps_fn, x, t):
+    eps = eps_fn(x, t)
+    return S.forward_step(sched, x, eps, t)
+
+
+@jax.jit
+def _ddpm_invert_step(sched, eps_fn, xt, xtm1, t, eta):
+    eps = eps_fn(xt, t)
+    mu, sigma = S.posterior_mean_from_eps(sched, xt, eps, t, eta)
+    z = (xtm1 - mu) / sigma
+    return mu + sigma * z, z
+
+
+def ddpm_invert_split(
+    sched: S.Schedule,
+    eps_fn: EpsFn,
+    x0: Array,
+    eta: float = 1.0,
+    key: Optional[Array] = None,
+    xts: Optional[Array] = None,
+) -> InversionResult:
+    """`ddpm_invert` as a host loop over one jitted step (identical math:
+    same read-ahead-of-write update order as the scan carry)."""
+    n = sched.num_inference_steps
+    ts = _np.asarray(sched.timesteps)
+
+    if eta == 0:
+        x = x0
+        for t in ts[::-1]:
+            x = _ddpm_forward_step(sched, eps_fn, x, jnp.int32(t))
+        return InversionResult(x, None, None)
+
+    if xts is None:
+        if key is None:
+            raise ValueError("eta > 0 requires key or precomputed xts")
+        xts = sample_xts(sched, x0, key)
+
+    zs_rev = []
+    for idx in range(n - 1, -1, -1):
+        xtm1_new, z = _ddpm_invert_step(
+            sched, eps_fn, xts[idx], xts[idx + 1], jnp.int32(ts[idx]), eta
+        )
+        xts = xts.at[idx + 1].set(xtm1_new)
+        zs_rev.append(z)
+    zs = jnp.stack(zs_rev[::-1])
+    zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
+    return InversionResult(xts[0], zs, xts)

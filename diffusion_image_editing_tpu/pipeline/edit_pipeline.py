@@ -151,8 +151,14 @@ class EditPipeline:
         prompt_ids: Optional[Array] = None,
         cfg_scale: float = 3.5,
         key: Optional[Array] = None,
+        mode: str = "split",
     ):
-        """Invert a real image for editing (`SegDiffEditPipeline.py:152-200`)."""
+        """Invert a real image for editing (`SegDiffEditPipeline.py:152-200`).
+
+        mode="split" (default) runs the inversion as a host loop of per-step
+        jits — like `edit_image(mode="split")`, the measured-fast form on this
+        stack (UNet inside `lax.scan` loses Pallas pipelining); "fused" keeps
+        the single-dispatch scan program."""
         if inversion_method == "ddim" and eta > 0:
             raise ValueError("eta > 0 and inversion_method == 'ddim' is not possible")
 
@@ -168,12 +174,18 @@ class EditPipeline:
         eps_fn = w.eps_fn(text_emb, cfg_scale)
 
         if inversion_method == "ddim":
-            xt = _jit_ddim_invert(sched, eps_fn, latent)
+            if mode == "split":
+                xt = I.ddim_invert_split(sched, eps_fn, latent)
+            else:
+                xt = _jit_ddim_invert(sched, eps_fn, latent)
             zs, xts = None, None
         elif inversion_method == "ddpm":
             if key is None:
                 key = jax.random.PRNGKey(0)
-            res = _jit_ddpm_invert(sched, eps_fn, latent, key, eta=eta)
+            if mode == "split":
+                res = I.ddpm_invert_split(sched, eps_fn, latent, eta=eta, key=key)
+            else:
+                res = _jit_ddpm_invert(sched, eps_fn, latent, key, eta=eta)
             xt, zs, xts = res.xt, res.zs, res.xts
         else:
             raise ValueError(f"Unknown inversion method: {inversion_method}")

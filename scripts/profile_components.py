@@ -33,7 +33,9 @@ def main():
     print("backend:", jax.default_backend(),
           "pallas:", os.environ.get("DIE_TPU_PALLAS", "auto"),
           "(tiny)" if tiny else "")
-    denoise_step, guidance_nudge, eps_fn, decode_fn, xt, sched = build_edit_step(tiny)
+    denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+        build_edit_step(tiny)
+    )
     t = jnp.int32(981)
     timeit("unet CFG denoise step", denoise_step, eps_fn, xt, t)
 
@@ -43,8 +45,8 @@ def main():
 
     timeit("vae decode forward", dec_fwd, decode_fn, xt)
     x2, eps = denoise_step(eps_fn, xt, t)
-    timeit("guidance nudge (decode fwd+vjp)", guidance_nudge, decode_fn, x2, eps, t,
-           jnp.int32(0))
+    timeit("guidance nudge (decode fwd+vjp)", guidance_nudge, decode_fn, attr, x2,
+           eps, t, jnp.int32(0))
 
 
 if __name__ == "__main__":

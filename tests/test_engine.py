@@ -196,3 +196,40 @@ def test_edit_split_matches_fused():
         np.asarray(split.model_outputs), np.asarray(fused.model_outputs),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_split_inversion_matches_scan():
+    """ddim_invert_split / ddpm_invert_split (host loop of per-step jits)
+    must equal the scan programs — same math, different dispatch (CPU is
+    bitwise deterministic, so tolerances are tight)."""
+    from diffusion_image_editing_tpu.engine import ddim_invert_split, ddpm_invert_split
+
+    sched, eps_fn = _setup()
+    x0 = jax.random.normal(jax.random.PRNGKey(11), (1, 16, 16, 3)) * 0.2
+
+    xT_scan = ddim_invert(sched, eps_fn, x0)
+    xT_split = ddim_invert_split(sched, eps_fn, x0)
+    np.testing.assert_allclose(
+        np.asarray(xT_scan), np.asarray(xT_split), rtol=1e-5, atol=1e-6
+    )
+
+    key = jax.random.PRNGKey(12)
+    r_scan = ddpm_invert(sched, eps_fn, x0, eta=1.0, key=key)
+    r_split = ddpm_invert_split(sched, eps_fn, x0, eta=1.0, key=key)
+    np.testing.assert_allclose(
+        np.asarray(r_scan.xt), np.asarray(r_split.xt), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_scan.zs), np.asarray(r_split.zs), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_scan.xts), np.asarray(r_split.xts), rtol=1e-5, atol=1e-6
+    )
+
+    # eta=0 degenerate branch
+    r0_scan = ddpm_invert(sched, eps_fn, x0, eta=0.0)
+    r0_split = ddpm_invert_split(sched, eps_fn, x0, eta=0.0)
+    np.testing.assert_allclose(
+        np.asarray(r0_scan.xt), np.asarray(r0_split.xt), rtol=1e-5, atol=1e-6
+    )
+    assert r0_split.zs is None and r0_split.xts is None
