@@ -2,23 +2,31 @@
 
 TPU-native replacement for the reference UNets' attention layers (the
 reference relies on diffusers' torch attention; here the hot path is a
-blockwise online-softmax Pallas kernel that streams K/V blocks through VMEM).
+blockwise online-softmax Pallas kernel).
 
 Layout convention: (B, S, H, D) — batch, sequence, heads, head_dim.
 
-Forward: grid (batch*heads, q_blocks, k_blocks) with the K axis innermost;
-the online-softmax state (accumulator, running max, running sum) lives in
-VMEM scratch and persists across the K grid steps, so K/V never need to fit
-in VMEM whole — this is what lets the SD VAE decoder's 4096-token × 512-dim
-attention (inside the per-step guidance VJP, SURVEY.md §3.2) run on the MXU
-without materialising the 4096×4096 score matrix in HBM.
+Two forward kernel modes, picked by K/V size (measured A/B, PARITY.md):
+
+* **resident** — K/V for one head fit in VMEM next to the q/score blocks:
+  grid (B*H, q_blocks), online softmax as a `fori_loop` over K blocks inside
+  the kernel. This is the fast path for every UNet attention (4096x128-pad
+  bf16 K/V = 2 MB) — measured 14.1 vs 10.5 steps/s end-to-end against the
+  streaming kernel on the SD 512px guided edit.
+* **streaming** — grid (B*H, q_blocks, k_blocks) with the K axis innermost
+  and the online-softmax state (accumulator, running max/sum) in VMEM
+  scratch persisting across K grid steps. K/V never need to fit in VMEM,
+  which is what lets the SD VAE decoder's 4096-token x 512-dim attention
+  (inside the per-step guidance VJP, SURVEY.md §3.2) run as a flash kernel
+  without materialising the 4096x4096 score matrix in HBM.
 
 Backward: `jax.custom_vjp` with two recompute-style Pallas kernels (the
-standard flash-attention backward): the forward also emits the per-row
-log-sum-exp, and the backward recomputes P = exp(S - lse) blockwise to form
-dQ (grid over K blocks) and dK/dV (grid over Q blocks). Shapes whose
-sequence lengths don't divide the block sizes (e.g. the 77-token CLIP
-cross-attention K) fall back to the exact jnp reference in both directions.
+standard flash-attention backward): the VJP forward also emits the per-row
+log-sum-exp (the primal-only path skips it — it costs real bandwidth), and
+the backward recomputes P = exp(S - lse) blockwise to form dQ (grid over K
+blocks) and dK/dV (grid over Q blocks). Shapes whose sequence lengths don't
+divide the block sizes (e.g. the 77-token CLIP cross-attention K) fall back
+to the exact jnp reference in both directions.
 """
 
 from __future__ import annotations
@@ -36,6 +44,15 @@ Array = jax.Array
 
 _NEG_INF = -1e30
 _LANES = 128
+# Row statistics (lse, delta) are carried as (B*H, S, _STAT) so their Pallas
+# blocks (1, block_q, _STAT) satisfy the TPU tiling rule: the last block dim
+# must equal the array dim (8 here) or be a multiple of 128.
+_STAT = 8
+# K+V for one head must fit comfortably in VMEM (~16MB/core) next to the
+# q/score/accumulator blocks for the resident kernel; beyond this the
+# streaming kernel takes over. Tunable for A/B (DIE_TPU_ATTN_KV_BUDGET_MB).
+def _kv_budget_bytes() -> int:
+    return int(os.environ.get("DIE_TPU_ATTN_KV_BUDGET_MB", "6")) * 1024 * 1024
 
 
 def attention_reference(
@@ -67,16 +84,19 @@ class _Plan(NamedTuple):
     block_q: int
     block_k: int
     d_pad: int
+    streaming: bool  # K/V too big for VMEM: K axis moves into the grid
 
 
 def _plan(
     s_q: int,
     s_k: int,
     d: int,
+    dtype_bytes: int = 4,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
 ) -> Optional[_Plan]:
-    """Choose block sizes; None when the shape can't use the kernels.
+    """Choose kernel mode and block sizes; None when the shape can't use the
+    kernels.
 
     Head-dim zero-padding is always safe (adds 0 to every logit); sequence
     lengths must divide the block sizes exactly — zero-padded K rows would
@@ -90,7 +110,9 @@ def _plan(
     block_k = min(block_k, s_k)
     if s_q % block_q or s_k % block_k or block_k % _LANES:
         return None
-    return _Plan(block_q, block_k, _round_up(d, _LANES))
+    d_pad = _round_up(d, _LANES)
+    streaming = 2 * s_k * d_pad * dtype_bytes > _kv_budget_bytes()
+    return _Plan(block_q, block_k, d_pad, streaming)
 
 
 def _split_heads(x: Array, d_pad: int) -> Array:
@@ -109,11 +131,57 @@ def _merge_heads(x: Array, b: int, h: int, d: int) -> Array:
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: grid (B*H, n_q, n_k), K innermost; state in VMEM scratch.
+# Resident forward kernel: grid (B*H, n_q); K/V whole in VMEM, fori_loop.
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale):
+def _resident_kernel(q_ref, k_ref, v_ref, o_ref, *maybe_lse, scale, block_k):
+    # Matmul inputs stay in the storage dtype (bf16 runs the MXU at full
+    # rate); accumulation and softmax statistics are fp32.
+    q = q_ref[0]
+    s_k = k_ref.shape[1]
+    block_q, d = q.shape
+    num_kb = s_k // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k) fp32
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(vb.dtype), vb, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if maybe_lse:
+        lse = m + jnp.log(l)  # (block_q, 1)
+        maybe_lse[0][0] = jnp.broadcast_to(lse, (block_q, _STAT))
+
+
+# ---------------------------------------------------------------------------
+# Streaming forward kernel: grid (B*H, n_q, n_k), K innermost; VMEM scratch.
+# ---------------------------------------------------------------------------
+
+
+def _streaming_kernel(
+    q_ref, k_ref, v_ref, o_ref, *rest, scale, with_lse
+):
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        lse_ref, (acc_ref, m_ref, l_ref) = None, rest
     k_idx = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -123,8 +191,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    # Matmul inputs stay in the storage dtype (bf16 runs the MXU at full
-    # rate); accumulation and softmax statistics are fp32.
     q = q_ref[0]
     kb = k_ref[0]
     vb = v_ref[0]
@@ -152,46 +218,74 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
     def _finalize():
         l = l_ref[:, :1]
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:, 0] + jnp.log(l[:, 0])
+        if with_lse:
+            lse = m_ref[:, :1] + jnp.log(l)  # (block_q, 1)
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_fwd(
-    q: Array, k: Array, v: Array, scale: float, plan: _Plan, interpret: bool
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    plan: _Plan,
+    interpret: bool,
+    with_lse: bool,
 ):
+    """Returns (out BSHD, out_heads (B*H,S,Dp), lse or None)."""
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
-    block_q, block_k, d_pad = plan
+    block_q, block_k, d_pad, streaming = plan
 
     qh = _split_heads(q, d_pad)
     kh = _split_heads(k, d_pad)
     vh = _split_heads(v, d_pad)
     bh = b * h
 
-    grid = (bh, s_q // block_q, s_k // block_k)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, s_q, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((bh, s_q), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qh, kh, vh)
-    return _merge_heads(out, b, h, d), out, lse
+    out_shape = [jax.ShapeDtypeStruct((bh, s_q, d_pad), q.dtype)]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((bh, s_q, _STAT), jnp.float32))
+    o_spec = pl.BlockSpec((1, block_q, d_pad), lambda i, j, *_: (i, j, 0))
+    lse_spec = pl.BlockSpec((1, block_q, _STAT), lambda i, j, *_: (i, j, 0))
+    out_specs = [o_spec, lse_spec] if with_lse else [o_spec]
+
+    if not streaming:
+        res = pl.pallas_call(
+            functools.partial(_resident_kernel, scale=scale, block_k=block_k),
+            out_shape=tuple(out_shape) if with_lse else out_shape[0],
+            grid=(bh, s_q // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=tuple(out_specs) if with_lse else out_specs[0],
+            interpret=interpret,
+        )(qh, kh, vh)
+    else:
+        res = pl.pallas_call(
+            functools.partial(_streaming_kernel, scale=scale, with_lse=with_lse),
+            out_shape=tuple(out_shape) if with_lse else out_shape[0],
+            grid=(bh, s_q // block_q, s_k // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+                pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
+                pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
+            ],
+            out_specs=tuple(out_specs) if with_lse else out_specs[0],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d_pad), jnp.float32),
+                pltpu.VMEM((block_q, _LANES), jnp.float32),
+                pltpu.VMEM((block_q, _LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qh, kh, vh)
+
+    if with_lse:
+        out_h, lse = res
+    else:
+        out_h, lse = res, None
+    return _merge_heads(out_h, b, h, d), out_h, lse
 
 
 # ---------------------------------------------------------------------------
@@ -213,8 +307,8 @@ def _bwd_dq_kernel(
     kb = k_ref[0]
     vb = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]  # (block_q, 1)
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, :1]  # (block_q, 1)
+    delta = delta_ref[0][:, :1]
 
     s = (
         jax.lax.dot_general(
@@ -253,8 +347,8 @@ def _bwd_dkv_kernel(
     kb = k_ref[0]
     vb = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
 
     s = (
         jax.lax.dot_general(
@@ -300,23 +394,25 @@ def _flash_bwd(
 ):
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
-    block_q, block_k, d_pad = plan
+    block_q, block_k, d_pad, _ = plan
     bh = b * h
 
     qh = _split_heads(q, d_pad)
     kh = _split_heads(k, d_pad)
     vh = _split_heads(v, d_pad)
     doh = _split_heads(g, d_pad)
-    # delta_i = sum_d dO_i * O_i (one fused elementwise pass; fp32)
+    # delta_i = sum_d dO_i * O_i (one fused elementwise pass; fp32), carried
+    # broadcast over the _STAT lane to satisfy TPU block tiling.
     delta = jnp.sum(doh.astype(jnp.float32) * out_h.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (_STAT,))
 
     q_specs = [
         pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),  # q
         pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),  # k
         pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),  # v
         pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),  # do
-        pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j)),  # lse
-        pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j)),  # delta
+        pl.BlockSpec((1, block_q, _STAT), lambda i, j, kk: (i, j, 0)),  # lse
+        pl.BlockSpec((1, block_q, _STAT), lambda i, j, kk: (i, j, 0)),  # delta
     ]
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale),
@@ -333,8 +429,8 @@ def _flash_bwd(
         pl.BlockSpec((1, block_k, d_pad), lambda i, kk, j: (i, kk, 0)),  # k
         pl.BlockSpec((1, block_k, d_pad), lambda i, kk, j: (i, kk, 0)),  # v
         pl.BlockSpec((1, block_q, d_pad), lambda i, kk, j: (i, j, 0)),  # do
-        pl.BlockSpec((1, block_q), lambda i, kk, j: (i, j)),  # lse
-        pl.BlockSpec((1, block_q), lambda i, kk, j: (i, j)),  # delta
+        pl.BlockSpec((1, block_q, _STAT), lambda i, kk, j: (i, j, 0)),  # lse
+        pl.BlockSpec((1, block_q, _STAT), lambda i, kk, j: (i, j, 0)),  # delta
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale),
@@ -371,6 +467,10 @@ class _FallbackToReference(Exception):
     pass
 
 
+def _plan_for(q: Array, k: Array) -> Optional[_Plan]:
+    return _plan(q.shape[1], k.shape[1], q.shape[-1], q.dtype.itemsize)
+
+
 def _flash_attention_fwd_impl(
     q: Array,
     k: Array,
@@ -381,10 +481,12 @@ def _flash_attention_fwd_impl(
     block_k: Optional[int] = None,
 ) -> Array:
     """Forward-only kernel entry (kept for tests/benchmarks)."""
-    plan = _plan(q.shape[1], k.shape[1], q.shape[-1], block_q, block_k)
+    plan = _plan(
+        q.shape[1], k.shape[1], q.shape[-1], q.dtype.itemsize, block_q, block_k
+    )
     if plan is None:
         raise _FallbackToReference()
-    out, _, _ = _flash_fwd(q, k, v, scale, plan, interpret)
+    out, _, _ = _flash_fwd(q, k, v, scale, plan, interpret, with_lse=False)
     return out
 
 
@@ -406,20 +508,40 @@ def _interpret_mode() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention(q, k, v, scale, use_pallas):
-    return _attention_fwd(q, k, v, scale, use_pallas)[0]
+    # Primal-only path: skip the lse output — it is only needed by the VJP
+    # and costs real HBM writes on the (stop-gradient'd) UNet hot loop.
+    plan = _plan_for(q, k) if use_pallas else None
+    if plan is not None:
+        out, _, _ = _flash_fwd(q, k, v, scale, plan, _interpret_mode(), with_lse=False)
+        return out
+    return attention_reference(q, k, v, scale)
+
+
+def _pallas_bwd_enabled() -> bool:
+    return os.environ.get("DIE_TPU_ATTN_PALLAS_BWD", "1").lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
 
 
 def _attention_fwd(q, k, v, scale, use_pallas):
-    plan = _plan(q.shape[1], k.shape[1], q.shape[-1]) if use_pallas else None
+    plan = _plan_for(q, k) if use_pallas else None
     if plan is not None:
-        out, out_h, lse = _flash_fwd(q, k, v, scale, plan, _interpret_mode())
-        return out, (q, k, v, out_h, lse)
+        if _pallas_bwd_enabled():
+            out, out_h, lse = _flash_fwd(
+                q, k, v, scale, plan, _interpret_mode(), with_lse=True
+            )
+            return out, (q, k, v, out_h, lse)
+        out, _, _ = _flash_fwd(q, k, v, scale, plan, _interpret_mode(), with_lse=False)
+        return out, (q, k, v, None, None)
     return attention_reference(q, k, v, scale), (q, k, v, None, None)
 
 
 def _attention_bwd(scale, use_pallas, res, g):
     q, k, v, out_h, lse = res
-    plan = _plan(q.shape[1], k.shape[1], q.shape[-1]) if use_pallas else None
+    plan = _plan_for(q, k) if use_pallas else None
     if plan is not None and out_h is not None:
         return _flash_bwd(q, k, v, out_h, lse, g, scale, plan, _interpret_mode())
     _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
@@ -437,7 +559,7 @@ def attention(
     causal: bool = False,
     use_pallas: Optional[bool] = None,
 ) -> Array:
-    """Multi-head attention, (B, S, H, D). Pallas flash kernel on TPU
+    """Multi-head attention, (B, S, H, D). Pallas flash kernels on TPU
     (forward AND backward), exact jnp reference elsewhere (and for causal
     masks and block-ragged sequence lengths like the 77-token CLIP context)."""
     if scale is None:
@@ -446,5 +568,5 @@ def attention(
         return attention_reference(q, k, v, scale, causal=True)
     if use_pallas is None:
         use_pallas = _supports_pallas()
-    use_pallas = bool(use_pallas) and _plan(q.shape[1], k.shape[1], q.shape[-1]) is not None
+    use_pallas = bool(use_pallas) and _plan_for(q, k) is not None
     return _attention(q, k, v, float(scale), use_pallas)

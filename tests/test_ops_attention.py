@@ -5,10 +5,12 @@ import pytest
 import torch
 
 from diffusion_image_editing_tpu.ops.attention import (
+    _Plan,
     _flash_attention_fwd_impl,
     _flash_bwd,
     _flash_fwd,
     _plan,
+    _round_up,
     attention,
     attention_reference,
 )
@@ -51,27 +53,31 @@ def test_flash_kernel_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("streaming", [False, True])
 @pytest.mark.parametrize(
     "b,s,h,d,block_q,block_k",
     [
-        (1, 256, 2, 40, 64, 128),  # SD head_dim 40, 2 k-blocks streamed
+        (1, 256, 2, 40, 64, 128),  # SD head_dim 40, 2 k-blocks
         (2, 512, 1, 160, 128, 128),  # 4 k-blocks, multi-batch
         (1, 1024, 1, 512, 256, 256),  # VAE-decoder-like: wide single head
     ],
 )
-def test_kblocked_forward_matches_reference(b, s, h, d, block_q, block_k):
+def test_flash_forward_matches_reference(b, s, h, d, block_q, block_k, streaming):
     q, k, v = _rand(20, (b, s, h, d)), _rand(21, (b, s, h, d)), _rand(22, (b, s, h, d))
     scale = d**-0.5
-    plan = _plan(s, s, d, block_q, block_k)
-    assert plan is not None and s // block_k >= 2  # streaming actually exercised
-    out, _, lse = _flash_fwd(q, k, v, scale, plan, interpret=True)
+    plan = _Plan(block_q, block_k, _round_up(d, 128), streaming)
+    assert s // block_k >= 2  # multi-block online softmax actually exercised
+    out, _, lse = _flash_fwd(q, k, v, scale, plan, interpret=True, with_lse=True)
     ref = attention_reference(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
-    # lse must equal logsumexp of the scaled logits rowwise
+    # lse must equal logsumexp of the scaled logits rowwise (stats are
+    # broadcast over a width-8 lane to satisfy TPU block tiling)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     ref_lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (b, h, s)
     ref_lse = np.asarray(ref_lse).reshape(b * h, s)
-    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-5, atol=1e-5)
+    assert lse.shape == (b * h, s, 8)
+    np.testing.assert_allclose(np.asarray(lse[..., 0]), ref_lse, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse[..., 7]), ref_lse, rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize(
@@ -85,9 +91,8 @@ def test_pallas_backward_matches_reference_grads(b, s, h, d, block_q, block_k):
     q, k, v = _rand(30, (b, s, h, d)), _rand(31, (b, s, h, d)), _rand(32, (b, s, h, d))
     g = _rand(33, (b, s, h, d))
     scale = d**-0.5
-    plan = _plan(s, s, d, block_q, block_k)
-    assert plan is not None
-    _, out_h, lse = _flash_fwd(q, k, v, scale, plan, interpret=True)
+    plan = _Plan(block_q, block_k, _round_up(d, 128), True)
+    _, out_h, lse = _flash_fwd(q, k, v, scale, plan, interpret=True, with_lse=True)
     dq, dk, dv = _flash_bwd(q, k, v, out_h, lse, g, scale, plan, interpret=True)
 
     _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
