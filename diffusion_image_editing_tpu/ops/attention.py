@@ -243,25 +243,33 @@ def _flash_fwd(
     bh = b * h
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d_pad), q.dtype)]
-    if with_lse:
+    if with_lse or not streaming:
         out_shape.append(jax.ShapeDtypeStruct((bh, s_q, _STAT), jnp.float32))
     o_spec = pl.BlockSpec((1, block_q, d_pad), lambda i, j, *_: (i, j, 0))
     lse_spec = pl.BlockSpec((1, block_q, _STAT), lambda i, j, *_: (i, j, 0))
-    out_specs = [o_spec, lse_spec] if with_lse else [o_spec]
+    out_specs = [o_spec, lse_spec][: len(out_shape)]
 
     if not streaming:
+        # The resident kernel ALWAYS emits the lse output, even when the
+        # caller doesn't need it: on this toolchain the single-output variant
+        # of the same kernel compiles to a catastrophically slow program
+        # (measured seconds vs 2.7 ms per call on the SD-lvl1 4096x40 shape —
+        # a Mosaic scheduling pathology, root cause unknown). The stats write
+        # is (B*H, S, 8) fp32 ~ 2 MB and free by comparison.
         res = pl.pallas_call(
             functools.partial(_resident_kernel, scale=scale, block_k=block_k),
-            out_shape=tuple(out_shape) if with_lse else out_shape[0],
+            out_shape=tuple(out_shape),
             grid=(bh, s_q // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
                 pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
                 pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
             ],
-            out_specs=tuple(out_specs) if with_lse else out_specs[0],
+            out_specs=tuple(out_specs),
             interpret=interpret,
         )(qh, kh, vh)
+        if not with_lse:
+            res = res[0]
     else:
         res = pl.pallas_call(
             functools.partial(_streaming_kernel, scale=scale, with_lse=with_lse),

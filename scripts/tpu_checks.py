@@ -18,14 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(fn, x0, reps=20):
-    """fn: array -> array (same shape). Chained, synced timing; ms/call."""
-    x = fn(x0 + 1.0)
+def chain_time(fn, x0, *rest, reps=20):
+    """fn: (array, *rest) -> array (same shape as the first arg). Chained,
+    synced timing; ms/call. Pass every large operand through *rest so it is a
+    traced jit ARGUMENT — captured device arrays become HLO constants and the
+    relay re-ships them per call (CLAUDE.md rule 1), wrecking the numbers."""
+    x = fn(x0 + 1.0, *rest)
     jax.block_until_ready(x)
     t0 = time.perf_counter()
     x = x0
     for _ in range(reps):
-        x = fn(x)
+        x = fn(x, *rest)
     s = float(jnp.sum(x))
     dt = (time.perf_counter() - t0) / reps
     assert np.isfinite(s)
@@ -70,16 +73,32 @@ def check_attn():
         print(f"{name} {dt.__name__}: fwd max|err|={err:.4g}  "
               f"bwd max|err|={gerr:.4g} (rel {gerr/scale_ref:.3g})")
 
-        # ---- timing: fwd ----
-        f_pal = jax.jit(lambda q_: _attention(q_, kk, v, scale, True))
-        f_xla = jax.jit(lambda q_: attention_reference(q_, kk, v, scale).astype(q_.dtype))
-        ms_p = chain_time(f_pal, q)
-        ms_x = chain_time(f_xla, q)
+        # ---- timing: fwd (k/v/g as traced arguments, not captures) ----
+        f_pal = jax.jit(lambda q_, k_, v_: _attention(q_, k_, v_, scale, True))
+        f_xla = jax.jit(
+            lambda q_, k_, v_: attention_reference(q_, k_, v_, scale).astype(q_.dtype)
+        )
+        ms_p = chain_time(f_pal, q, kk, v)
+        ms_x = chain_time(f_xla, q, kk, v)
         # ---- timing: fwd+bwd (VJP) ----
-        gp = jax.jit(jax.grad(loss_p))
-        gx = jax.jit(jax.grad(loss_r))
-        ms_gp = chain_time(gp, q)
-        ms_gx = chain_time(gx, q)
+        gp = jax.jit(
+            jax.grad(
+                lambda q_, k_, v_, g_: jnp.sum(
+                    _attention(q_, k_, v_, scale, True).astype(jnp.float32)
+                    * g_.astype(jnp.float32)
+                )
+            )
+        )
+        gx = jax.jit(
+            jax.grad(
+                lambda q_, k_, v_, g_: jnp.sum(
+                    attention_reference(q_, k_, v_, scale).astype(jnp.float32)
+                    * g_.astype(jnp.float32)
+                )
+            )
+        )
+        ms_gp = chain_time(gp, q, kk, v, g)
+        ms_gx = chain_time(gx, q, kk, v, g)
         print(f"    fwd: pallas {ms_p:.3f} ms  xla {ms_x:.3f} ms   "
               f"| grad: pallas {ms_gp:.3f} ms  xla {ms_gx:.3f} ms")
 
