@@ -13,10 +13,16 @@ fused: 101). Hypotheses, each probed here as a full 50-step guided edit
   fused-1jit   — the whole 50-step loop UNROLLED inside ONE jit (no scan at
                  all): isolates "scan/while-loop" from "one big program"
 
+The model closures (eps_fn/decode_fn/attr) are pytree callables passed as
+jit ARGUMENTS in every mode (CLAUDE.md rule 1): closing the jitted scan over
+them bakes 3.6 GB of weights into the HLO as literal constants and breaks
+the relay.
+
 Run each mode in its own process (jit caches, VMEM fragmentation):
     python scripts/fused_scan_probe.py split|fused|fused-unroll2|fused-1jit
 """
 
+import functools
 import sys
 import time
 
@@ -28,6 +34,32 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import STEPS, _build_models, build_edit_step  # noqa: E402
 
 
+def _step_body(sched, eps_fn, decode_fn, attr, x, t, i):
+    from diffusion_image_editing_tpu.core import ddim_step
+
+    eps = jax.lax.stop_gradient(eps_fn(x, t))
+    x_new, _ = ddim_step(sched, x, eps, t, eta=0.0)
+    x_new, _ = attr.apply(x_new, None, eps, t, i, sched, decode_fn)
+    return x_new
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _run_fused(unroll, _tag, sched, eps_fn, decode_fn, attr, ts, x):
+    def body(x_, inp):
+        i, t = inp
+        return _step_body(sched, eps_fn, decode_fn, attr, x_, t, i), None
+
+    out, _ = jax.lax.scan(body, x, (jnp.arange(STEPS), ts), unroll=unroll)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_1jit(_tag, sched, eps_fn, decode_fn, attr, ts, x):
+    for i in range(STEPS):
+        x = _step_body(sched, eps_fn, decode_fn, attr, x, ts[i], jnp.int32(i))
+    return x
+
+
 def main(mode: str):
     tiny = jax.default_backend() == "cpu"
     models = _build_models(tiny)
@@ -36,14 +68,6 @@ def main(mode: str):
     )
     timesteps = np.asarray(sched.timesteps)
     ts_dev = jnp.asarray(sched.timesteps)
-
-    from diffusion_image_editing_tpu.core import ddim_step
-
-    def step_body(x, t, i):
-        eps = jax.lax.stop_gradient(eps_fn(x, t))
-        x_new, _ = ddim_step(sched, x, eps, t, eta=0.0)
-        x_new, _ = attr.apply(x_new, None, eps, t, i, sched, decode_fn)
-        return x_new
 
     if mode == "split":
         def run_pass(x):
@@ -54,31 +78,14 @@ def main(mode: str):
     elif mode.startswith("fused-unroll"):
         unroll = int(mode.removeprefix("fused-unroll"))
 
-        @jax.jit
         def run_pass(x):
-            def body(x_, inp):
-                i, t = inp
-                return step_body(x_, t, i), None
-
-            out, _ = jax.lax.scan(
-                body, x, (jnp.arange(STEPS), ts_dev), unroll=unroll
-            )
-            return out
+            return _run_fused(unroll, mode, sched, eps_fn, decode_fn, attr, ts_dev, x)
     elif mode == "fused-1jit":
-        @jax.jit
         def run_pass(x):
-            for i in range(STEPS):
-                x = step_body(x, ts_dev[i], jnp.int32(i))
-            return x
+            return _run_1jit(mode, sched, eps_fn, decode_fn, attr, ts_dev, x)
     elif mode == "fused":
-        @jax.jit
         def run_pass(x):
-            def body(x_, inp):
-                i, t = inp
-                return step_body(x_, t, i), None
-
-            out, _ = jax.lax.scan(body, x, (jnp.arange(STEPS), ts_dev))
-            return out
+            return _run_fused(1, mode, sched, eps_fn, decode_fn, attr, ts_dev, x)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
