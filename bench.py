@@ -99,8 +99,9 @@ def build_edit_step(tiny: bool, models=None, guidance: str = "color",
                     decode_remat: str = "none"):
     """One guided-edit step, jitted: CFG UNet + DDIM update + guidance
     gradient through the VAE decoder. Compiling single steps (instead of the
-    full 50-step scan) keeps bench startup short AND is the measured-faster
-    split execution mode (PARITY.md); the math equals the scan body.
+    full 50-step scan) keeps bench startup short; the math equals the scan
+    body, and split == fused within 1% on this workload since the round-2
+    dual-mode flash kernels (87.9 vs 88.5 ms/step, PARITY.md).
 
     guidance: "color" (SingleColorAttrFunc) or "seg" (NetAttrFunc with a
     reference-size BiSeNet-512 in the differentiated loss —

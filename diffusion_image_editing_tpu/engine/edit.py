@@ -87,13 +87,21 @@ import functools
 
 # Module-level jitted step programs for the split edit path: stable function
 # identity (no per-call retrace); the schedule, denoiser, codec, attr_func,
-# and mask all enter as pytree ARGUMENTS (weights as traced inputs).
-@functools.partial(jax.jit, static_argnames=("eta", "step_rule"))
-def _split_denoise(sched, eps_fn, x, t, z, eta, step_rule):
+# and mask all enter as pytree ARGUMENTS (weights as traced inputs). The
+# per-step noise map is sliced from the full zs array INSIDE the program
+# (`zs[i]` with a host Python index compiles a fresh throwaway eager program
+# per index — 50 remote compiles of warmup on the relay).
+@functools.partial(jax.jit, static_argnames=("eta", "step_rule", "has_zs"))
+def _split_denoise(sched, eps_fn, x, t, zs, idx, eta, step_rule, has_zs):
     step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
+    z = (
+        jax.lax.dynamic_index_in_dim(zs, idx, keepdims=False)
+        if has_zs
+        else jnp.zeros_like(x)
+    )
     eps = jax.lax.stop_gradient(eps_fn(x, t))
     x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
-    return x_new, eps, px0
+    return x_new, eps, px0, z
 
 
 @jax.jit
@@ -134,10 +142,12 @@ def edit_split(
     x = xt
     xts_out, eps_out, px0_out = [], [], []
     ts_host = np.asarray(timesteps)
+    has_zs = zs is not None
+    zs_arr = zs if has_zs else jnp.zeros((1,) + xt.shape, xt.dtype)
     for i, t in enumerate(ts_host):
-        z = zs[i] if zs is not None else jnp.zeros_like(x)
-        x, eps, px0 = _split_denoise(
-            sched, eps_fn, x, jnp.int32(t), z, eta=eta, step_rule=step_rule
+        x, eps, px0, z = _split_denoise(
+            sched, eps_fn, x, jnp.int32(t), zs_arr, jnp.int32(i),
+            eta=eta, step_rule=step_rule, has_zs=has_zs,
         )
         if attr_func is not None:
             x, z = _split_guidance(

@@ -197,6 +197,22 @@ def _ddpm_invert_step(sched, eps_fn, xt, xtm1, t, eta):
     return mu + sigma * z, z
 
 
+@jax.jit
+def _ddpm_invert_step_traj(sched, eps_fn, xts, idx, t, eta):
+    """One inversion step over the full trajectory array: slice x_t/x_{t-1},
+    extract z, write the corrected x_{t-1} back — all INSIDE one jitted
+    program. Indexing with a host Python int instead compiles a fresh
+    throwaway program per (op, index) pair: 100+ eager remote compiles,
+    measured 1027 s of warmup for a 50-step inversion on the v5e relay."""
+    xt = jax.lax.dynamic_index_in_dim(xts, idx, keepdims=False)
+    xtm1 = jax.lax.dynamic_index_in_dim(xts, idx + 1, keepdims=False)
+    eps = eps_fn(xt, t)
+    mu, sigma = S.posterior_mean_from_eps(sched, xt, eps, t, eta)
+    z = (xtm1 - mu) / sigma
+    xts = jax.lax.dynamic_update_index_in_dim(xts, mu + sigma * z, idx + 1, axis=0)
+    return xts, z
+
+
 def ddpm_invert_split(
     sched: S.Schedule,
     eps_fn: EpsFn,
@@ -223,10 +239,9 @@ def ddpm_invert_split(
 
     zs_rev = []
     for idx in range(n - 1, -1, -1):
-        xtm1_new, z = _ddpm_invert_step(
-            sched, eps_fn, xts[idx], xts[idx + 1], jnp.int32(ts[idx]), eta
+        xts, z = _ddpm_invert_step_traj(
+            sched, eps_fn, xts, jnp.int32(idx), jnp.int32(ts[idx]), jnp.float32(eta)
         )
-        xts = xts.at[idx + 1].set(xtm1_new)
         zs_rev.append(z)
     zs = jnp.stack(zs_rev[::-1])
     zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172

@@ -215,16 +215,19 @@ class EditPipeline:
         x0_ref: Optional[Array] = None,
         key: Optional[Array] = None,
         collect: bool = True,
-        mode: str = "split",
+        mode: str = "fused",
         decode_remat: str = "auto",
     ) -> EditorOutput:
         """Guided denoise of (possibly edited) noise maps
         (`SegDiffEditPipeline.py:202-302`).
 
-        mode="split" (default) runs two small jitted programs per step —
-        measured ~3x faster than mode="fused" (one jitted lax.scan) on v5e
-        because Pallas kernels inside scan lose pipelining; "fused" remains
-        available for single-dispatch deployment.
+        mode="fused" (default) runs the whole edit as ONE jitted lax.scan —
+        the single-dispatch production path. With the round-2 dual-mode flash
+        kernels it matches the split host loop (87.9 vs 88.5 ms/step on the
+        v5e 512px SD guided edit; round 1's 3x fused-scan penalty is gone).
+        mode="split" (two small jitted programs per step) stays available:
+        it compiles in seconds instead of ~2 minutes, the right trade for
+        interactive runs or one-off edits.
 
         decode_remat: "auto" checkpoints each VAE-decoder block inside the
         guidance VJP when batch >= 2 (the 16GB memory cliff); "blocks" forces
