@@ -24,6 +24,13 @@ from ..engine.denoise import DecodeClosure, EncodeClosure, EpsFn
 Array = jax.Array
 
 
+@jax.jit
+def _jit_decode(dec_fn, latent):
+    """Module-level jitted decode: stable identity, codec params as traced
+    arguments (used by the split generation path)."""
+    return dec_fn(latent)
+
+
 class DiffusionWrapper:
     """Base wrapper (`src/base_diffusion.py:29-47` parity)."""
 
@@ -101,13 +108,32 @@ class DiffusionWrapper:
         prompt_ids: Optional[Array] = None,
         cfg_scale: float = 3.5,
         collect: bool = False,
+        mode: str = "split",
     ) -> Tuple[Array, D.Trajectory]:
         """One denoising run; returns (decoded image NHWC [-1,1], Trajectory).
-        `src/base_diffusion.py:49-97` parity, jitted end-to-end."""
+        `src/base_diffusion.py:49-97` parity.
+
+        mode="split" (default) host-loops one jitted step per timestep: for
+        UNet-only scans the Pallas kernels lose pipelining inside lax.scan on
+        this stack (measured 14x on the inversion scan, PARITY.md round 2);
+        "fused" keeps the single-dispatch whole-loop program."""
         sched = self._sched_for(num_inference_steps)
         text_emb = self.prep_text(prompt_ids)
         eps_fn = self.eps_fn(text_emb, cfg_scale)
         dec_fn = self.decode_fn()
+
+        if mode == "split":
+            from ..engine.edit import edit_split
+
+            res = edit_split(
+                sched, eps_fn, xt, eta=eta, zs=zs, attr_func=None,
+                step_rule="ddim", collect=collect,
+            )
+            traj = D.Trajectory(
+                res.x0, xts=res.xts, model_outputs=res.model_outputs,
+                pred_original_samples=res.pred_original_samples,
+            )
+            return _jit_decode(dec_fn, res.x0), traj
 
         # eps_fn / dec_fn are pytree callables passed as jit ARGUMENTS so the
         # model weights are traced inputs, never captured constants. The

@@ -372,3 +372,18 @@ def test_ddpm_inversion_eta0_edit_path():
     )
     assert out.imgs.shape == (1, 16, 16, 3)
     assert not bool(jnp.any(jnp.isnan(out.imgs)))
+
+
+def test_generate_image_split_matches_fused():
+    """Split host-loop generation (the TPU-fast default; UNet-only scans
+    lose Pallas pipelining) equals the single-scan fused program."""
+    w = make_ddpm(clip_sample=True)
+    img1, traj1, xt, zs = w.generate_images(
+        num_images=1, eta=1.0, num_inference_steps=STEPS, seed=3
+    )
+    img2, traj2 = w.generate_image(
+        xt, eta=1.0, zs=zs, num_inference_steps=STEPS, mode="fused"
+    )
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img2), rtol=1e-4, atol=1e-4
+    )
