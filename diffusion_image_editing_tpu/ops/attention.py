@@ -112,7 +112,24 @@ def _plan(
         return None
     d_pad = _round_up(d, _LANES)
     streaming = 2 * s_k * d_pad * dtype_bytes > _kv_budget_bytes()
+    if streaming and not _streaming_enabled():
+        return None  # over-budget K/V -> exact jnp reference (XLA)
     return _Plan(block_q, block_k, d_pad, streaming)
+
+
+def _streaming_enabled() -> bool:
+    """DIE_TPU_ATTN_STREAMING gates the streaming kernel for shapes whose K/V
+    exceed the VMEM budget (the SD VAE decoder's 4096x512 attention). Default
+    off: the measured-fast dispatch on the 512px guided edit sends that shape
+    to XLA (headline A/B in PARITY.md); the kernel remains available for
+    memory-bound workloads where materialising the S^2 score matrix in HBM is
+    the binding constraint."""
+    return os.environ.get("DIE_TPU_ATTN_STREAMING", "0").lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
 
 
 def _split_heads(x: Array, d_pad: int) -> Array:
@@ -243,33 +260,31 @@ def _flash_fwd(
     bh = b * h
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d_pad), q.dtype)]
-    if with_lse or not streaming:
+    if with_lse:
         out_shape.append(jax.ShapeDtypeStruct((bh, s_q, _STAT), jnp.float32))
     o_spec = pl.BlockSpec((1, block_q, d_pad), lambda i, j, *_: (i, j, 0))
     lse_spec = pl.BlockSpec((1, block_q, _STAT), lambda i, j, *_: (i, j, 0))
     out_specs = [o_spec, lse_spec][: len(out_shape)]
 
+    # Measurement note: STANDALONE single-program microbenches of the no-lse
+    # resident variant through the axon relay report wildly pathological
+    # per-call times (20 ms - 40 s for a 2.7 ms kernel) while the with-lse
+    # variant measures normally. End-to-end the truth is the opposite: the
+    # primal-only no-lse path is ~20% faster on the full guided edit (14.1 vs
+    # 11.3 steps/s). Trust full-workload A/Bs only (CLAUDE.md rule 2).
     if not streaming:
-        # The resident kernel ALWAYS emits the lse output, even when the
-        # caller doesn't need it: on this toolchain the single-output variant
-        # of the same kernel compiles to a catastrophically slow program
-        # (measured seconds vs 2.7 ms per call on the SD-lvl1 4096x40 shape —
-        # a Mosaic scheduling pathology, root cause unknown). The stats write
-        # is (B*H, S, 8) fp32 ~ 2 MB and free by comparison.
         res = pl.pallas_call(
             functools.partial(_resident_kernel, scale=scale, block_k=block_k),
-            out_shape=tuple(out_shape),
+            out_shape=tuple(out_shape) if with_lse else out_shape[0],
             grid=(bh, s_q // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
                 pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
                 pl.BlockSpec((1, s_k, d_pad), lambda i, j: (i, 0, 0)),
             ],
-            out_specs=tuple(out_specs),
+            out_specs=tuple(out_specs) if with_lse else out_specs[0],
             interpret=interpret,
         )(qh, kh, vh)
-        if not with_lse:
-            res = res[0]
     else:
         res = pl.pallas_call(
             functools.partial(_streaming_kernel, scale=scale, with_lse=with_lse),
