@@ -18,8 +18,10 @@ extras (secondary operating points, VERDICT r1 items 2/3/9):
   e2e_invert_edit_s   — wall-clock for the FULL 50-step DDPM inversion +
                         50-step guided edit of ONE 512px image on one chip
                         (the literal north-star workload, single-chip bound)
-  batchN_steps_s      — aggregate latent-steps/s at batch N with the
-                        per-block-remat decoder (the 16GB memory-cliff fix)
+  batchN_steps_s      — aggregate latent-steps/s at batch N (guidance VJP
+                        serialized per sample by AttrFunc.apply_batched —
+                        the 16GB memory-cliff fix that also keeps the
+                        batch-1 rate)
   seg_steps_s         — steps/s with BiSeNet-512 parsing guidance in the
                         loop (NetAttrFunc: seg fwd+bwd through the VJP)
 
@@ -169,7 +171,7 @@ def build_edit_step(tiny: bool, models=None, guidance: str = "color",
         return x_new, eps
 
     def guidance_nudge(dec_fn_, attr_, xt, eps, t, idx):
-        x_new, _ = attr_.apply(xt, None, eps, t, idx, sched, dec_fn_)
+        x_new, _ = attr_.apply_batched(xt, None, eps, t, idx, sched, dec_fn_)
         return x_new
 
     return (
@@ -252,9 +254,7 @@ def main():
         extras["e2e_invert_edit_s"] = round(phase_e2e(tiny, models), 3)
     if "batch" in phases:
         for b in (2, 4):
-            sps = phase_guided_edit(
-                tiny, models, decode_remat="blocks", batch=b, reps=2
-            )
+            sps = phase_guided_edit(tiny, models, batch=b, reps=2)
             extras[f"batch{b}_steps_s"] = round(b * sps, 3)  # aggregate
     if "seg" in phases:
         extras["seg_steps_s"] = round(

@@ -69,7 +69,7 @@ def edit(
         eps = jax.lax.stop_gradient(eps_fn(x, t))
         x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
         if attr_func is not None:
-            x_new, z = attr_func.apply(
+            x_new, z = attr_func.apply_batched(
                 x_new, z, eps, t, idx, sched, decode_fn, mask=mask, x0=x0_ref
             )
         ys = (x_new, eps, px0) if collect else None
@@ -106,7 +106,7 @@ def _split_denoise(sched, eps_fn, x, t, zs, idx, eta, step_rule, has_zs):
 
 @jax.jit
 def _split_guidance(af, sched, dec_fn, x, z, eps, t, idx, mask, x0_ref):
-    return af.apply(x, z, eps, t, idx, sched, dec_fn, mask=mask, x0=x0_ref)
+    return af.apply_batched(x, z, eps, t, idx, sched, dec_fn, mask=mask, x0=x0_ref)
 
 
 def edit_split(

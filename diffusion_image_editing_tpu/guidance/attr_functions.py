@@ -150,6 +150,54 @@ class AttrFunc(struct.PyTreeNode):
             zt = zt + nudge
         return xt, zt
 
+    def apply_batched(
+        self,
+        xt: Array,
+        zt: Optional[Array],
+        eps: Array,
+        t: Array,
+        step_idx: Array,
+        sched: S.Schedule,
+        decode_fn: DecodeFn,
+        mask: Optional[Array] = None,
+        x0: Optional[Array] = None,
+    ) -> Tuple[Array, Optional[Array]]:
+        """`apply` with the guidance VJP serialized per sample via `lax.map`
+        for batch >= 2. The BATCHED 512px decode-VJP collapses to ~3.2
+        steps/s/sample on a 16GB chip (HBM working set) while per-sample VJPs
+        keep the batch-1 rate — measured 14.67 vs 6.38 aggregate steps/s at
+        batch 2 (PARITY.md round 2). The loss itself must be per-sample
+        separable, which every AttrFunc here is (reductions are means/sums
+        over spatial/channel dims)."""
+        b = xt.shape[0]
+        if b == 1:
+            return self.apply(
+                xt, zt, eps, t, step_idx, sched, decode_fn, mask=mask, x0=x0
+            )
+        has_z = zt is not None
+        mapped = {"x": xt, "e": eps}
+        if has_z:
+            mapped["z"] = zt
+        per_sample_x0 = x0 is not None and x0.shape[0] == b
+        if per_sample_x0:
+            mapped["x0"] = x0
+
+        def one(mp):
+            x01 = mp["x0"][None] if per_sample_x0 else x0
+            xn, zn = self.apply(
+                mp["x"][None],
+                mp["z"][None] if has_z else None,
+                mp["e"][None],
+                t, step_idx, sched, decode_fn, mask=mask, x0=x01,
+            )
+            out = {"x": xn[0]}
+            if has_z:
+                out["z"] = zn[0]
+            return out
+
+        res = jax.lax.map(one, mapped)
+        return res["x"], (res["z"] if has_z else zt)
+
 
 class SingleColorAttrFunc(AttrFunc):
     """One-channel colour guidance (`src/attr_functions.py:166-175`)."""

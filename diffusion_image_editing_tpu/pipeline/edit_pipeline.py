@@ -229,9 +229,11 @@ class EditPipeline:
         it compiles in seconds instead of ~2 minutes, the right trade for
         interactive runs or one-off edits.
 
-        decode_remat: "auto" checkpoints each VAE-decoder block inside the
-        guidance VJP when batch >= 2 (the 16GB memory cliff); "blocks" forces
-        it on, "none" off."""
+        decode_remat: "auto" (no checkpointing — batch >= 2 guidance VJPs are
+        serialized per sample by `AttrFunc.apply_batched`, which keeps the
+        batch-1 working set AND the batch-1 rate: 14.67 vs 6.38 aggregate
+        steps/s at batch 2, PARITY.md); "blocks" checkpoints each VAE-decoder
+        block inside the VJP (for even tighter memory), "none" forces off."""
         self.check_inputs(attr_func, eta, mask, resynthesize, zs)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -251,9 +253,7 @@ class EditPipeline:
 
         if decode_remat not in ("auto", "blocks", "none"):
             raise ValueError(f"Unknown decode_remat: {decode_remat}")
-        remat_blocks = decode_remat == "blocks" or (
-            decode_remat == "auto" and xt.shape[0] >= 2
-        )
+        remat_blocks = decode_remat == "blocks"
         dec_fn = w.decode_fn(remat_blocks=remat_blocks)
 
         if mode == "split":
