@@ -233,3 +233,32 @@ def test_split_inversion_matches_scan():
         np.asarray(r0_scan.xt), np.asarray(r0_split.xt), rtol=1e-5, atol=1e-6
     )
     assert r0_split.zs is None and r0_split.xts is None
+
+
+def test_apply_batched_matches_per_sample_apply():
+    """Batch >= 2 guidance via apply_batched (lax.map per-sample VJPs — the
+    16GB batch-cliff fix, PARITY.md round 2) must equal running apply() on
+    each sample separately, including zt nudging and per-sample x0 refs."""
+    sched, _ = _setup()
+    key = jax.random.PRNGKey(21)
+    xt = jax.random.normal(key, (3, 16, 16, 3))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), (3, 16, 16, 3))
+    zt = jax.random.normal(jax.random.fold_in(key, 2), (3, 16, 16, 3))
+    x0 = jax.random.normal(jax.random.fold_in(key, 3), (3, 16, 16, 3))
+    mask = jnp.ones((1, 16, 16, 3)).at[:, 8:].set(0.0)
+    attr = SingleColorAttrFunc(
+        target=1.0, color_idx=0, loss_scale=50.0, t1=0, t2=STEPS,
+        nudge_zt=True, use_mask=True, metric="l2", lambda_=0.1,
+    )
+    from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+
+    dec = DecodeClosure()
+    t, idx = jnp.int32(sched.timesteps[3]), jnp.int32(3)
+    xb, zb = attr.apply_batched(xt, zt, eps, t, idx, sched, dec, mask=mask, x0=x0)
+    for i in range(3):
+        xi, zi = attr.apply(
+            xt[i : i + 1], zt[i : i + 1], eps[i : i + 1], t, idx, sched, dec,
+            mask=mask, x0=x0[i : i + 1],
+        )
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xi[0]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(zb[i]), np.asarray(zi[0]), rtol=1e-5, atol=1e-5)
