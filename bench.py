@@ -239,17 +239,52 @@ def phase_e2e(tiny, models, reps=2):
     return _timed_pass(run_pass, xt * 0.5, xt * 0.1, reps)
 
 
+_RESULT = {"steps_per_sec": None, "extras": {}, "tiny": False}
+
+
+def _emit(partial: bool = False):
+    sps = _RESULT["steps_per_sec"]
+    result = {
+        "metric": "denoise steps/sec/chip (SD-1.5 512px guided edit, CFG + VAE-grad guidance)"
+        + (" [TINY CPU FALLBACK]" if _RESULT["tiny"] else ""),
+        "value": round(sps, 3) if sps is not None else None,
+        "unit": "steps/s/chip",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3)
+        if sps is not None
+        else None,
+    }
+    if _RESULT["extras"]:
+        result["extras"] = _RESULT["extras"]
+    if partial:
+        result["partial"] = True
+    print(json.dumps(result), flush=True)
+
+
 def main():
+    # A cold XLA compile cache can push the full run past an external watchdog
+    # (measured: 4-phase cold run > 50 min, warm ~ 20); on SIGTERM/SIGALRM
+    # emit whatever phases completed instead of dying silently.
+    import signal
+
+    def _bail(signum, frame):
+        _emit(partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _bail)
+    if os.environ.get("DIE_BENCH_DEADLINE_S"):
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(int(os.environ["DIE_BENCH_DEADLINE_S"]))
+
     backend = jax.default_backend()
     tiny = backend == "cpu"
+    _RESULT["tiny"] = tiny
     default_phases = "headline" if tiny else "headline,e2e,batch,seg"
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
-    extras = {}
+    extras = _RESULT["extras"]
 
-    steps_per_sec = None
     if "headline" in phases:
-        steps_per_sec = phase_guided_edit(tiny, models)
+        _RESULT["steps_per_sec"] = phase_guided_edit(tiny, models)
     if "e2e" in phases:
         extras["e2e_invert_edit_s"] = round(phase_e2e(tiny, models), 3)
     if "batch" in phases:
@@ -260,19 +295,7 @@ def main():
         extras["seg_steps_s"] = round(
             phase_guided_edit(tiny, models, guidance="seg", reps=2), 3
         )
-
-    result = {
-        "metric": "denoise steps/sec/chip (SD-1.5 512px guided edit, CFG + VAE-grad guidance)"
-        + (" [TINY CPU FALLBACK]" if tiny else ""),
-        "value": round(steps_per_sec, 3) if steps_per_sec is not None else None,
-        "unit": "steps/s/chip",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_PER_CHIP, 3)
-        if steps_per_sec is not None
-        else None,
-    }
-    if extras:
-        result["extras"] = extras
-    print(json.dumps(result))
+    _emit()
 
 
 if __name__ == "__main__":
