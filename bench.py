@@ -295,6 +295,10 @@ def main():
         extras["seg_steps_s"] = round(
             phase_guided_edit(tiny, models, guidance="seg", reps=2), 3
         )
+    # Disarm before the final emit: a late alarm/SIGTERM during teardown must
+    # not print a second (partial-marked) line.
+    signal.alarm(0)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
     _emit()
 
 

@@ -190,14 +190,6 @@ def _ddpm_forward_step(sched, eps_fn, x, t):
 
 
 @jax.jit
-def _ddpm_invert_step(sched, eps_fn, xt, xtm1, t, eta):
-    eps = eps_fn(xt, t)
-    mu, sigma = S.posterior_mean_from_eps(sched, xt, eps, t, eta)
-    z = (xtm1 - mu) / sigma
-    return mu + sigma * z, z
-
-
-@jax.jit
 def _ddpm_invert_step_traj(sched, eps_fn, xts, idx, t, eta):
     """One inversion step over the full trajectory array: slice x_t/x_{t-1},
     extract z, write the corrected x_{t-1} back — all INSIDE one jitted

@@ -163,12 +163,21 @@ class AttrFunc(struct.PyTreeNode):
         x0: Optional[Array] = None,
     ) -> Tuple[Array, Optional[Array]]:
         """`apply` with the guidance VJP serialized per sample via `lax.map`
-        for batch >= 2. The BATCHED 512px decode-VJP collapses to ~3.2
-        steps/s/sample on a 16GB chip (HBM working set) while per-sample VJPs
-        keep the batch-1 rate — measured 14.67 vs 6.38 aggregate steps/s at
-        batch 2 (PARITY.md round 2). The loss itself must be per-sample
-        separable, which every AttrFunc here is (reductions are means/sums
-        over spatial/channel dims)."""
+        for batch >= 2. Two reasons this is THE batched entry point:
+
+        * Performance: the BATCHED 512px decode-VJP collapses to ~3.2
+          steps/s/sample on a 16GB chip (HBM working set) while per-sample
+          VJPs keep the batch-1 rate — 14.67 vs 6.38 aggregate steps/s at
+          batch 2 (PARITY.md round 2).
+        * Semantics: the reference edits images one at a time
+          (`base_diffusion.py:123-141`), so its loss reductions (e.g. the
+          colour losses' `mean`) normalize per image. Per-sample application
+          reproduces that at any batch size, whereas calling `apply` on a
+          batch would fold the batch dim into mean/l2 reductions and dilute
+          the guidance strength by 1/B.
+
+        Per-sample `mask` / `x0` arrays (leading dim == batch) are mapped
+        alongside the samples; batch-1 broadcast arrays are shared."""
         b = xt.shape[0]
         if b == 1:
             return self.apply(
@@ -181,14 +190,18 @@ class AttrFunc(struct.PyTreeNode):
         per_sample_x0 = x0 is not None and x0.shape[0] == b
         if per_sample_x0:
             mapped["x0"] = x0
+        per_sample_mask = mask is not None and mask.shape[0] == b
+        if per_sample_mask:
+            mapped["m"] = mask
 
         def one(mp):
             x01 = mp["x0"][None] if per_sample_x0 else x0
+            m1 = mp["m"][None] if per_sample_mask else mask
             xn, zn = self.apply(
                 mp["x"][None],
                 mp["z"][None] if has_z else None,
                 mp["e"][None],
-                t, step_idx, sched, decode_fn, mask=mask, x0=x01,
+                t, step_idx, sched, decode_fn, mask=m1, x0=x01,
             )
             out = {"x": xn[0]}
             if has_z:

@@ -23,6 +23,7 @@ Run each mode in its own process (jit caches, VMEM fragmentation):
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -30,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import STEPS, _build_models, build_edit_step  # noqa: E402
 
 

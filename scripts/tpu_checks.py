@@ -10,6 +10,7 @@ Run on the real TPU (plain `python scripts/tpu_checks.py`). Phases via argv:
 Timing per CLAUDE.md rule 2: chained inputs, D2H readback inside the region.
 """
 
+import os
 import sys
 import time
 
@@ -36,6 +37,10 @@ def chain_time(fn, x0, *rest, reps=20):
 
 
 def check_attn():
+    # The production dispatch sends over-VMEM-budget K/V (the VAE-decoder
+    # 4096x512 shapes below) to XLA; force the streaming kernel ON here so
+    # this script actually validates/timing-checks the Pallas path for them.
+    os.environ.setdefault("DIE_TPU_ATTN_STREAMING", "1")
     from diffusion_image_editing_tpu.ops.attention import (
         _attention,
         attention_reference,
@@ -113,10 +118,6 @@ def check_headdim():
     for d in (40, 128):
         a = jax.random.normal(jax.random.PRNGKey(0), (S, d), jnp.bfloat16)
         b = jax.random.normal(jax.random.PRNGKey(1), (S, d), jnp.bfloat16)
-
-        def qk(a_):
-            return lax.dot_general(a_, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)[:, :d]
 
         # chain via first d cols to keep shapes consistent
         def step(a_):

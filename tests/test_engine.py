@@ -262,3 +262,37 @@ def test_apply_batched_matches_per_sample_apply():
         )
         np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xi[0]), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(zb[i]), np.asarray(zi[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_apply_batched_per_sample_masks():
+    """A (B, H, W, C) mask must be applied per sample — not broadcast from
+    sample 0 (code-review finding: the full-batch mask was captured in every
+    lax.map iteration)."""
+    sched, _ = _setup()
+    key = jax.random.PRNGKey(22)
+    xt = jax.random.normal(key, (2, 16, 16, 3))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 16, 3))
+    masks = jnp.stack([
+        jnp.ones((16, 16, 3)).at[8:].set(0.0),   # top half
+        jnp.ones((16, 16, 3)).at[:8].set(0.0),   # bottom half
+    ])
+    attr = SingleColorAttrFunc(
+        target=1.0, color_idx=0, loss_scale=50.0, t1=0, t2=STEPS,
+        mask_attr_grad=True,
+    )
+    from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+
+    dec = DecodeClosure()
+    t, idx = jnp.int32(sched.timesteps[3]), jnp.int32(3)
+    xb, _ = attr.apply_batched(xt, None, eps, t, idx, sched, dec, mask=masks)
+    for i in range(2):
+        xi, _ = attr.apply(
+            xt[i : i + 1], None, eps[i : i + 1], t, idx, sched, dec,
+            mask=masks[i : i + 1],
+        )
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xi[0]), rtol=1e-5, atol=1e-5)
+    # the nudge regions must actually differ between the two samples
+    d0 = np.abs(np.asarray(xb[0] - xt[0]))
+    d1 = np.abs(np.asarray(xb[1] - xt[1]))
+    assert d0[8:].max() == 0.0 and d0[:8].max() > 0.0
+    assert d1[:8].max() == 0.0 and d1[8:].max() > 0.0
