@@ -186,8 +186,13 @@ def variance(s: Schedule, t: Array) -> Array:
 
 
 def _bcast(scalar: Array, like: Array) -> Array:
-    """Broadcast a () scalar against an NHWC sample."""
-    return scalar.astype(like.dtype)
+    """Broadcast a () scalar — or a (B,) per-sample vector — against an NHWC
+    sample. Vector support lets every step function take a different timestep
+    per batch element (used by the timestep-parallel DDPM inversion)."""
+    scalar = scalar.astype(like.dtype)
+    if scalar.ndim == 1 and like.ndim > 1:
+        scalar = scalar.reshape((-1,) + (1,) * (like.ndim - 1))
+    return scalar
 
 
 def pred_original_sample(s: Schedule, sample: Array, eps: Array, t: Array) -> Array:

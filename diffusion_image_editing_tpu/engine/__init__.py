@@ -13,6 +13,7 @@ from .invert import (  # noqa: F401
     ddim_invert,
     ddim_invert_split,
     ddpm_invert,
+    ddpm_invert_batched,
     ddpm_invert_split,
     ddpm_sample,
     sample_xts,

@@ -54,6 +54,8 @@ class CfgEpsClosure(struct.PyTreeNode):
     def __call__(self, x: Array, t: Array) -> Array:
         b = x.shape[0]
         latents = jnp.concatenate([x, x], axis=0)
+        if jnp.ndim(t) == 1:  # per-sample timesteps: tile for the CFG pair
+            t = jnp.concatenate([t, t], axis=0)
         ctx = jnp.repeat(self.text_emb, b, axis=0)  # (2B, L, D) uncond-first
         eps = self.apply_fn(self.params, latents, t, ctx)
         eps_uncond, eps_text = jnp.split(eps, 2, axis=0)

@@ -17,6 +17,7 @@ inputs, so `sample_xts` also accepts precomputed noise.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -238,3 +239,98 @@ def ddpm_invert_split(
     zs = jnp.stack(zs_rev[::-1])
     zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
     return InversionResult(xts[0], zs, xts)
+
+
+@functools.partial(jax.jit, static_argnames=("eta", "group"))
+def _ddpm_invert_group(sched, eps_fn, x_flat, xnext_flat, ts_flat, gidx, eta, group):
+    """z-extraction for ONE group of `group` (timestep, sample) pairs as a
+    single flat-batched UNet call with per-sample timesteps. The group is
+    dynamically sliced inside the program so the host loop over groups hits
+    one compilation (host-index slicing compiles a throwaway program per
+    index on the relay; a vmap-over-chunk form measured far worse than this
+    flat batch, though single-program timings through the relay carry large
+    run-to-run variance — see PARITY.md measurement notes)."""
+    start = gidx * group
+    x = jax.lax.dynamic_slice_in_dim(x_flat, start, group, axis=0)
+    xn = jax.lax.dynamic_slice_in_dim(xnext_flat, start, group, axis=0)
+    t = jax.lax.dynamic_slice_in_dim(ts_flat, start, group, axis=0)
+    eps = eps_fn(x, t)
+    mu, sigma = S.posterior_mean_from_eps(sched, x, eps, t, eta)
+    z = (xn - mu) / sigma
+    # eq. 3 correction (identity in exact arithmetic; keeps (mu, sigma, z)
+    # and the stored trajectory bit-consistent):
+    return z, mu + sigma * z
+
+
+def ddpm_invert_batched(
+    sched: S.Schedule,
+    eps_fn: EpsFn,
+    x0: Array,
+    eta: float = 1.0,
+    key: Optional[Array] = None,
+    xts: Optional[Array] = None,
+    chunk: int = 10,
+) -> InversionResult:
+    """Edit-friendly DDPM inversion with the z-extraction PARALLELIZED across
+    timesteps — the TPU-first form of `inversion_forward_process`
+    (`src/ddpm_inversion.py:80-176`).
+
+    Key observation: the reference's sequential loop reads only the ORIGINAL
+    sampled trajectory — iteration idx reads xts[idx] and xts[idx+1], while
+    prior iterations (larger idx) wrote rows >= idx+2, and the eq.-3
+    "correction" write (mu + sigma*z with z = (xtm1-mu)/sigma) is
+    algebraically the identity. Every timestep's z is therefore independent,
+    and the S sequential batch-1 UNet calls become ceil(S/chunk) flat-batched
+    calls of chunk*B samples (x2 under CFG) with per-sample timesteps —
+    MXU-efficient batching instead of a serial chain. Identical math to
+    `ddpm_invert`; numerically equal up to fp reassociation (batched convs
+    regroup reductions, ~1e-4 relative).
+
+    `chunk` bounds UNet activation memory (group batch = chunk * B).
+
+    Status: math-parity tested against `ddpm_invert` (CPU, fp-reassociation
+    tolerance). On the current v5e relay, end-to-end timings of this program
+    were NOT reproducibly better than the split host loop (single-program
+    measurements vary by >2x run to run), so `prepare_real_image_edit`
+    keeps the split default; this form is the one to prefer on hardware
+    where batch-B UNet scaling is measured to hold.
+    """
+    n = sched.num_inference_steps
+    if eta == 0:
+        return ddpm_invert_split(sched, eps_fn, x0, eta=0.0)
+    if xts is None:
+        if key is None:
+            raise ValueError("eta > 0 requires key or precomputed xts")
+        xts = sample_xts(sched, x0, key)
+
+    b = x0.shape[0]
+    sample_shape = x0.shape[1:]
+    chunk = min(int(chunk), n)
+    group = chunk * b
+    total = n * b
+    pad = (-total) % group
+
+    # (S, B, ...) -> (S*B, ...) with per-pair timesteps; pad the tail group
+    # by repeating row 0 (results discarded).
+    x_flat = xts[:-1].reshape((total,) + sample_shape)
+    xn_flat = xts[1:].reshape((total,) + sample_shape)
+    ts_flat = jnp.repeat(sched.timesteps, b)
+    if pad:
+        x_flat = jnp.concatenate([x_flat, jnp.repeat(x_flat[:1], pad, axis=0)])
+        xn_flat = jnp.concatenate([xn_flat, jnp.repeat(xn_flat[:1], pad, axis=0)])
+        ts_flat = jnp.concatenate([ts_flat, jnp.repeat(ts_flat[:1], pad)])
+
+    zs_parts, xtm1_parts = [], []
+    for g in range((total + pad) // group):
+        z_g, xtm1_g = _ddpm_invert_group(
+            sched, eps_fn, x_flat, xn_flat, ts_flat, jnp.int32(g),
+            eta=float(eta), group=group,
+        )
+        zs_parts.append(z_g)
+        xtm1_parts.append(xtm1_g)
+    zs = jnp.concatenate(zs_parts, axis=0)[:total].reshape((n, b) + sample_shape)
+    xtm1 = jnp.concatenate(xtm1_parts, axis=0)[:total].reshape((n, b) + sample_shape)
+
+    zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
+    xts_out = jnp.concatenate([xts[:1], xtm1], axis=0)
+    return InversionResult(xts_out[0], zs, xts_out)

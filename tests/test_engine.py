@@ -296,3 +296,28 @@ def test_apply_batched_per_sample_masks():
     d1 = np.abs(np.asarray(xb[1] - xt[1]))
     assert d0[8:].max() == 0.0 and d0[:8].max() > 0.0
     assert d1[:8].max() == 0.0 and d1[8:].max() > 0.0
+
+
+def test_ddpm_invert_batched_matches_scan():
+    """The timestep-parallel inversion (chunked batched UNet calls) must
+    reproduce the sequential scan's zs/xts exactly on CPU: the sequential
+    loop only ever reads the ORIGINAL sampled trajectory, so every z is
+    independent (the TPU-first restructuring ddpm_invert_batched rests on).
+    Tolerance is fp-reassociation level: batched convs regroup reductions."""
+    from diffusion_image_editing_tpu.engine import ddpm_invert_batched
+
+    sched, eps_fn = _setup()
+    x0 = jax.random.normal(jax.random.PRNGKey(40), (1, 16, 16, 3)) * 0.1
+    key = jax.random.PRNGKey(41)
+    ref = ddpm_invert(sched, eps_fn, x0, eta=1.0, key=key)
+    for chunk in (3, 100):  # padded-group path and single-call path
+        got = ddpm_invert_batched(sched, eps_fn, x0, eta=1.0, key=key, chunk=chunk)
+        np.testing.assert_allclose(
+            np.asarray(got.zs), np.asarray(ref.zs), rtol=3e-4, atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.xts), np.asarray(ref.xts), rtol=3e-4, atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.xt), np.asarray(ref.xt), rtol=3e-4, atol=3e-4
+        )
