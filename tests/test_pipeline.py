@@ -387,3 +387,20 @@ def test_generate_image_split_matches_fused():
     np.testing.assert_allclose(
         np.asarray(img1), np.asarray(img2), rtol=1e-4, atol=1e-4
     )
+
+
+def test_prepare_real_image_edit_ddpm_batched_mode():
+    """mode='batched' (timestep-parallel inversion) produces zs/xts that the
+    edit consumes identically to mode='split' (fp-reassociation tolerance)."""
+    w = make_ddpm()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(50), (1, 16, 16, 3)) * 0.1
+    k = jax.random.PRNGKey(51)
+    a = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", classes=[17], key=k, mode="split"
+    )
+    b = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", classes=[17], key=k, mode="batched"
+    )
+    for x, y in zip(a[:3], b[:3]):  # xt, zs, xts
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=3e-4, atol=3e-4)
