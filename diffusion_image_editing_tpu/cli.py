@@ -57,15 +57,31 @@ def cmd_edit(args):
 
     w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
     seg_fn = None
-    if args.classes:
+    if args.classes or (args.align and not args.landmarks):
         from .pipeline.factory import create_segmentation_model
 
         seg_fn = create_segmentation_model(args.bisenet_ckpt)
     pipe = EditPipeline(w, seg_fn)
     from PIL import Image
 
-    img = pil_to_array(Image.open(args.image).convert("RGB").resize(
-        (args.image_size, args.image_size)))
+    pil = Image.open(args.image).convert("RGB")
+    if args.align:
+        # The reference's real-image flow aligns before editing
+        # (`src/real_image_editing_utils.py:10-24`); landmarks come from a
+        # dlib predictor (--landmarks PATH) or, dlib-free, from the BiSeNet
+        # parsing map.
+        from .host.alignment import align_face, align_from_parsing, dlib_landmarker
+
+        if args.landmarks:
+            lm = dlib_landmarker(args.landmarks)(np.asarray(pil))
+            pil = align_face(pil, landmarks=lm, output_size=args.image_size,
+                             transform_size=args.image_size)
+        else:
+            parsing = np.asarray(seg_fn(jax.numpy.asarray(pil_to_array(pil))))
+            pil = align_from_parsing(pil, parsing, output_size=args.image_size)
+    else:
+        pil = pil.resize((args.image_size, args.image_size))
+    img = pil_to_array(pil)
     attr = None
     if args.attr_func:
         registry = create_attr_func_registry()
@@ -118,6 +134,8 @@ def cmd_metrics(args):
         res = run_attribute_evaluation(
             w, EditPipeline(w, None), lambda imgs: predict(pparams, imgs), attr,
             n_samples=args.n, num_inference_steps=args.steps, seed=args.seed,
+            eta=args.eta, inversion=args.inversion, t_skip=args.t_skip,
+            resynthesize=args.resynthesize,
         )
         for name, pct in res["attribute_consistency"].items():
             print(f"{name} {pct:.2f}%")
@@ -202,6 +220,12 @@ def main(argv=None):
     common(e)
     e.add_argument("--image", required=True)
     e.add_argument("--image-size", type=int, default=256)
+    e.add_argument("--align", action="store_true", default=False,
+                   help="FFHQ face alignment before editing (the reference's "
+                        "real-image flow); landmarks from --landmarks or the "
+                        "BiSeNet parsing map")
+    e.add_argument("--landmarks", default=None,
+                   help="dlib shape-predictor .dat path for --align")
     e.add_argument("--eta", type=float, default=0.0)
     e.add_argument("--inversion-method", default="ddim", choices=["ddim", "ddpm"])
     e.add_argument("--t-skip", type=int, default=36)
@@ -237,6 +261,12 @@ def main(argv=None):
     m.add_argument("--t2", type=int, default=50)
     m.add_argument("--color-target", type=float, default=0.9)
     m.add_argument("--color-idx", type=int, default=0)
+    m.add_argument("--eta", type=float, default=0.0)
+    m.add_argument("--inversion", default=None, choices=["ddpm"],
+                   help="evaluate the edit-friendly-inversion config "
+                        "(re-invert generated images; needs --eta > 0)")
+    m.add_argument("--t-skip", type=int, default=None)
+    m.add_argument("--resynthesize", action="store_true", default=False)
     m.set_defaults(fn=cmd_metrics)
 
     t = sub.add_parser("seg-train")

@@ -125,10 +125,12 @@ def edit_split(
     """`edit` with the scan unrolled into a host loop over two small jitted
     programs (denoise step / guidance nudge).
 
-    Identical math to `edit`. On this hardware stack it is the FASTER path:
-    Pallas kernels inside `lax.scan` lose pipelining (measured 209 vs 71
-    ms/step for the SD 512px guided edit), and the small programs also
-    compile far quicker than the monolithic UNet+VAE-grad scan.
+    Identical math to `edit`. At the final round-2 dispatch the fused scan
+    matches this host loop (interleaved A/B: fused 69.3 vs split 70.3
+    ms/step on the SD 512px guided edit, PARITY.md) and is the production
+    default; this split form remains for its compile time — seconds instead
+    of ~2 minutes for the monolithic UNet+VAE-grad scan — the right trade
+    for interactive one-off edits.
     """
     if eta > 0 and zs is None:
         raise ValueError("eta > 0 requires zs")

@@ -7,8 +7,8 @@ reference as pure on-device scans:
   * `ddpm_invert`   — arXiv 2304.06140: samples the full forward trajectory
     x_1:T independently per t, then extracts per-step noise maps
     z_t = (x_{t-1} - mu_hat_t) / (eta sigma_t) with the error-accumulation
-    correction, carrying the whole trajectory through the scan as a single
-    HBM-resident array updated with `dynamic_update_slice`.
+    correction, as a CARRY-FREE scan streaming the trajectory through the
+    scan's xs/ys (the steps are independent; see the body comment).
 
 RNG is threaded `jax.random` keys (replacing the reference's global torch
 Generator); parity with the torch implementation is defined at fixed noise
@@ -98,26 +98,27 @@ def ddpm_invert(
             raise ValueError("eta > 0 requires key or precomputed xts")
         xts = sample_xts(sched, x0, key)
 
-    def body(carry, inputs):
-        xts_c = carry
-        idx, t = inputs
-        xt = jax.lax.dynamic_index_in_dim(xts_c, idx, keepdims=False)
-        xtm1 = jax.lax.dynamic_index_in_dim(xts_c, idx + 1, keepdims=False)
+    # Carry-free scan. The reference's sequential loop reads only the ORIGINAL
+    # sampled trajectory (iteration idx reads xts[idx], xts[idx+1]; earlier
+    # iterations wrote rows >= idx+2) and its eq.-3 "correction" write
+    # mu + sigma*((x_{t-1}-mu)/sigma) is algebraically the identity — so every
+    # step is independent. Streaming the trajectory as scan xs and emitting
+    # (z, corrected x_{t-1}) as ys removes the 51-frame carry whose per-step
+    # dynamic slice/update made the old carry form 12x slower than the split
+    # host loop (311 vs 25 ms/step on v5e, PARITY.md round 2).
+    def body(_, inputs):
+        xt, xtm1, t = inputs
         eps = eps_fn(xt, t)
         mu, sigma = S.posterior_mean_from_eps(sched, xt, eps, t, eta)
         z = (xtm1 - mu) / sigma
-        # error-accumulation correction (eq. 3, inbarhub DDPM_inversion):
-        xtm1_new = mu + sigma * z
-        xts_c = jax.lax.dynamic_update_index_in_dim(xts_c, xtm1_new, idx + 1, axis=0)
-        return xts_c, z
+        # eq.-3 correction (identity in exact arithmetic; keeps (mu, sigma,
+        # z) and the stored trajectory bit-consistent):
+        return (), (z, mu + sigma * z)
 
-    # iterate t ascending == idx descending (S-1 .. 0), reads stay ahead of writes
-    idxs = jnp.arange(n - 1, -1, -1)
-    xts_out, zs_rev = jax.lax.scan(body, xts, (idxs, timesteps[::-1]))
-    zs = zs_rev[::-1]  # back to idx order (noisiest first)
+    _, (zs, xtm1_new) = jax.lax.scan(body, (), (xts[:-1], xts[1:], timesteps))
     zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
-    xt = xts_out[0]
-    return InversionResult(xt, zs, xts_out)
+    xts_out = jnp.concatenate([xts[:1], xtm1_new], axis=0)
+    return InversionResult(xts_out[0], zs, xts_out)
 
 
 def ddpm_sample(
@@ -305,6 +306,8 @@ def ddpm_invert_batched(
 
     b = x0.shape[0]
     sample_shape = x0.shape[1:]
+    if int(chunk) < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     chunk = min(int(chunk), n)
     group = chunk * b
     total = n * b

@@ -93,19 +93,48 @@ def run_attribute_evaluation(
     eta: float = 0.0,
     seed: int = 0,
     skip_idx: Optional[Sequence[int]] = None,
+    inversion: Optional[str] = None,
+    t_skip: Optional[int] = None,
+    resynthesize: bool = False,
+    classes: Optional[Sequence[int]] = None,
+    dilate_mask: bool = False,
 ):
     """End-to-end attribute evaluation (reference `metrics.py:212-266` CLI
     flow): batched generate -> guided edit -> anyGAN predictions on both ->
     consistency % and sorted score deltas. One device program per phase
-    instead of the reference's per-sample loop."""
+    instead of the reference's per-sample loop.
+
+    `inversion=None` edits the generation's own noise maps (the reference's
+    metrics flow at eta=1, `src/metrics.py:79-101`). `inversion="ddpm"` runs
+    the edit-friendly configuration the reference's metrics also drove:
+    re-invert the generated images with edit-friendly DDPM inversion, then
+    edit from `xts[t_skip]` with the extracted zs (+ optional resynthesis /
+    segmentation-mask restriction via `classes`)."""
     imgs, traj, xt, zs = wrapper.generate_images(
         num_images=n_samples, eta=eta, num_inference_steps=num_inference_steps,
         seed=seed,
     )
-    out = pipeline.edit_image(
-        xt, eta=eta, zs=zs, attr_func=attr_func, collect=False,
-        key=jax.random.PRNGKey(seed),
-    )
+    if inversion == "ddpm":
+        if eta <= 0:
+            raise ValueError("edit-friendly evaluation requires eta > 0")
+        if t_skip is None:
+            t_skip = min(36, num_inference_steps - 1)
+        xt, zs, xts, mask, _ = pipeline.prepare_real_image_edit(
+            imgs, eta=eta, inversion_method="ddpm", classes=classes,
+            dilate_mask=dilate_mask, key=jax.random.PRNGKey(seed + 1),
+        )
+        out = pipeline.edit_image(
+            xt, eta=eta, zs=zs, xts=xts, mask=mask, attr_func=attr_func,
+            inversion_method="ddpm", t_skip=t_skip, resynthesize=resynthesize,
+            collect=False, key=jax.random.PRNGKey(seed),
+        )
+    elif inversion is None:
+        out = pipeline.edit_image(
+            xt, eta=eta, zs=zs, attr_func=attr_func, collect=False,
+            key=jax.random.PRNGKey(seed),
+        )
+    else:
+        raise ValueError(f"Unknown inversion: {inversion}")
     edited = out.imgs
     return {
         "attribute_consistency": attribute_consistency(

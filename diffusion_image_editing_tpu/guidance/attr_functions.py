@@ -265,12 +265,16 @@ class ClassifierAttrFunc(AttrFunc):
     )
 
     def loss(self, decoded: Array) -> Array:
+        # Per-sample score summed over the batch: each logit row depends only
+        # on its own sample, so the gradient stays per-sample at any B (the
+        # reference indexes [0] and silently drops samples 1..B-1 if handed a
+        # batch, `src/attr_functions.py:247`).
         logits = self.clf_apply_fn(self.clf_params, decoded).reshape(-1, 40, 2)
-        value = logits[0, self.idx_for_class, self.idx_of_interest]
+        value = jnp.sum(logits[:, self.idx_for_class, self.idx_of_interest])
         if self.regularize_idx is not None:
-            other = logits[0, self.regularize_idx, self.regularize_pred_idx]
+            other = logits[:, self.regularize_idx, self.regularize_pred_idx]
             score = self.regularize_score[self.regularize_pred_idx]
-            value = value + (other + score) ** 2
+            value = value + jnp.sum((other + score) ** 2)
         return value
 
 

@@ -199,6 +199,19 @@ def align_face(
     return img
 
 
+def align_from_parsing(
+    img: PIL.Image.Image, parsing: np.ndarray, output_size: int = 256
+) -> PIL.Image.Image:
+    """dlib-free alignment: derive anchor landmarks from a face-parsing map
+    (in the segmentation model's frame), rescale them to the image frame, and
+    run the FFHQ alignment. Backs `cli edit --align` without --landmarks."""
+    scale = np.array(img.size, np.float64) / np.array(parsing.shape[::-1])
+    lm = landmarks_from_parsing(parsing) * scale
+    return align_face(
+        img, landmarks=lm, output_size=output_size, transform_size=output_size
+    )
+
+
 def prepare_real_image_for_editing(
     image_path: str,
     landmark_fn: Optional[LandmarkFn] = None,

@@ -11,8 +11,10 @@ Two forward kernel modes, picked by K/V size (measured A/B, PARITY.md):
 * **resident** — K/V for one head fit in VMEM next to the q/score blocks:
   grid (B*H, q_blocks), online softmax as a `fori_loop` over K blocks inside
   the kernel. This is the fast path for every UNet attention (4096x128-pad
-  bf16 K/V = 2 MB) — measured 14.1 vs 10.5 steps/s end-to-end against the
-  streaming kernel on the SD 512px guided edit.
+  bf16 K/V = 2 MB) — final round-2 dispatch A/B: 14.27 steps/s end-to-end
+  with resident Pallas on the UNet attns + XLA on the decoder 4096x512,
+  vs 11.29 with the streaming kernel on the decoder and 9.86 with XLA
+  everywhere (PARITY.md).
 * **streaming** — grid (B*H, q_blocks, k_blocks) with the K axis innermost
   and the online-softmax state (accumulator, running max/sum) in VMEM
   scratch persisting across K grid steps. K/V never need to fit in VMEM,

@@ -68,6 +68,8 @@ class ShardedCfgEpsClosure(struct.PyTreeNode):
     def __call__(self, x: Array, t: Array) -> Array:
         b = x.shape[0]
         latents = jnp.concatenate([x, x], axis=0)
+        if jnp.ndim(t) == 1:  # per-sample timesteps: tile for the CFG pair
+            t = jnp.concatenate([t, t], axis=0)
         ctx = jnp.repeat(self.text_emb, b, axis=0)
         latents = self._constrain(latents, P("cfg", "sp"))
         ctx = self._constrain(ctx, P("cfg"))

@@ -113,10 +113,14 @@ class DiffusionWrapper:
         """One denoising run; returns (decoded image NHWC [-1,1], Trajectory).
         `src/base_diffusion.py:49-97` parity.
 
-        mode="split" (default) host-loops one jitted step per timestep: for
-        UNet-only scans the Pallas kernels lose pipelining inside lax.scan on
-        this stack (measured 14x on the inversion scan, PARITY.md round 2);
-        "fused" keeps the single-dispatch whole-loop program."""
+        mode="split" (default) host-loops one jitted step per timestep;
+        "fused" keeps the single-dispatch whole-loop program. The split
+        default comes from its compile time (seconds vs minutes) — the two
+        modes' steady-state rates for the plain generation loop are to be
+        set from an interleaved A/B at the final dispatch (the pathological
+        fused case is the trajectory-carrying INVERSION scan, a different
+        program; the guided edit scan reached split parity in round 2,
+        PARITY.md)."""
         sched = self._sched_for(num_inference_steps)
         text_emb = self.prep_text(prompt_ids)
         eps_fn = self.eps_fn(text_emb, cfg_scale)

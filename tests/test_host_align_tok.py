@@ -54,6 +54,24 @@ def test_landmarks_from_parsing_missing_class():
         landmarks_from_parsing(np.zeros((16, 16), np.int32))
 
 
+def test_align_from_parsing_rescales_to_image_frame():
+    """`cli edit --align` backend: parsing-map landmarks live in the seg
+    model's 256-frame and must be rescaled to the (differently sized) image."""
+    import PIL.Image
+
+    from diffusion_image_editing_tpu.host.alignment import align_from_parsing
+
+    parsing = np.zeros((256, 256), np.int32)
+    parsing[95:105, 95:105] = 4
+    parsing[95:105, 155:165] = 5
+    parsing[165:175, 105:155] = 11
+    img = PIL.Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (384, 512, 3), dtype=np.uint8)
+    )
+    out = align_from_parsing(img, parsing, output_size=64)
+    assert out.size == (64, 64)
+
+
 def _tiny_tokenizer():
     # byte vocab + </w> variants + specials; no merges
     from diffusion_image_editing_tpu.host.tokenizer import bytes_to_unicode
