@@ -104,8 +104,17 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: Array, remat: bool = False) -> Array:
+    def __call__(self, z: Array, remat: bool = False, shard_fn=None) -> Array:
+        """`shard_fn` (optional `Array -> Array`, e.g. a spatial
+        `with_sharding_constraint`) re-anchors the activation sharding after
+        every stage: GSPMD propagation from the decoder's input/output alone
+        loses the 'sp' partitioning at the middle resolutions (the 128/256-px
+        stages all-gather to full replication; measured in the partitioned
+        HLO of the 512px cfg x sp guided step, PARITY.md round 3). The
+        constraint transposes to the VJP, so the guidance gradient stays
+        sharded too. None (default) is a no-op."""
         cfg = self.config
+        keep = shard_fn if shard_fn is not None else (lambda x: x)
         Res = nn.remat(ResnetBlock2D) if remat else ResnetBlock2D
         Attn = nn.remat(AttentionBlock2D) if remat else AttentionBlock2D
         reversed_out = list(reversed(cfg.block_out_channels))
@@ -115,6 +124,7 @@ class Decoder(nn.Module):
         if cfg.mid_attention:
             h = Attn(None, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_attn")(h)
         h = Res(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = keep(h)
         for i, out_ch in enumerate(reversed_out):
             is_final = i == len(reversed_out) - 1
             for j in range(cfg.layers_per_block + 1):
@@ -124,6 +134,7 @@ class Decoder(nn.Module):
                 )(h)
             if not is_final:
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+            h = keep(h)
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
@@ -156,8 +167,8 @@ class AutoencoderKL(nn.Module):
         mean, logvar = self.encode_moments(x)
         return mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
 
-    def decode(self, z: Array, remat: bool = False) -> Array:
-        return self.decoder(self.post_quant_conv(z), remat=remat)
+    def decode(self, z: Array, remat: bool = False, shard_fn=None) -> Array:
+        return self.decoder(self.post_quant_conv(z), remat=remat, shard_fn=shard_fn)
 
     def __call__(self, x: Array) -> Array:
         return self.decode(self.encode(x))
@@ -210,10 +221,11 @@ class VQModel(nn.Module):
         return self.quant_conv(self.encoder(x))
 
     def decode(
-        self, h: Array, force_not_quantize: bool = False, remat: bool = False
+        self, h: Array, force_not_quantize: bool = False, remat: bool = False,
+        shard_fn=None,
     ) -> Array:
         q = h if force_not_quantize else self.quantize(h)
-        return self.decoder(self.post_quant_conv(q), remat=remat)
+        return self.decoder(self.post_quant_conv(q), remat=remat, shard_fn=shard_fn)
 
     def __call__(self, x: Array) -> Array:
         return self.decode(self.encode(x))

@@ -113,8 +113,29 @@ def make_sharded_cfg_eps_fn(
     return ShardedCfgEpsClosure(apply_fn, params, text_emb, cfg_scale, mesh)
 
 
-def shard_decode_fn(decode_fn: DecodeClosure, mesh: Mesh) -> SpatialDecodeClosure:
-    """Lift a wrapper's DecodeClosure onto the mesh (same params/apply)."""
+def spatial_shard(mesh: Mesh, axis: str = "sp") -> Callable[[Array], Array]:
+    """Activation re-sharding hook: constrain an NHWC activation's H to the
+    spatial mesh axis. Pass as `shard_fn` to `Decoder`/`decode` — GSPMD
+    propagation from the decoder boundary alone loses the partitioning at
+    the middle resolutions (measured; see `models.vae.Decoder`)."""
+
+    def keep(x: Array) -> Array:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(None, axis))
+        )
+
+    return keep
+
+
+def shard_decode_fn(
+    decode_fn: DecodeClosure, mesh: Mesh, apply_fn: Optional[Callable] = None
+) -> SpatialDecodeClosure:
+    """Lift a wrapper's DecodeClosure onto the mesh (same params). `apply_fn`
+    optionally overrides the decode invocation — use one that threads
+    `spatial_shard(mesh)` into the decoder (e.g.
+    `lambda p, z: vae.apply(p, z, method="decode", shard_fn=spatial_shard(mesh))`)
+    so every decoder stage stays partitioned, not just the boundary."""
     return SpatialDecodeClosure(
-        decode_fn.apply_fn, decode_fn.params, decode_fn.scale, mesh
+        apply_fn if apply_fn is not None else decode_fn.apply_fn,
+        decode_fn.params, decode_fn.scale, mesh,
     )

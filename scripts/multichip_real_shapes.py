@@ -1,0 +1,217 @@
+"""AOT-validate the cfg x sp sharded guided edit at REAL SD-1.5 512px shapes.
+
+VERDICT r2 item 3: the multi-chip program (`parallel/edit_shard.py`) had only
+ever been executed at toy widths. This script lowers and compiles the full
+SD-1.5-architecture guided-edit step (CFG UNet at 64x64x4 latents + DDIM
+update + colour-guidance gradient through the full 512px VAE decoder) over
+an 8-device cfg(2) x sp(4) mesh — on the virtual CPU backend, via
+ShapeDtypeStruct avals so no weights are materialized — and reports, from
+the PARTITIONED HLO:
+
+  1. whether convolutions/attention are actually spatially partitioned over
+     'sp' (per-device conv operand shapes vs global), not silently replicated;
+  2. per-device memory (argument/output/temp/peak) vs the 16 GB v5e HBM;
+  3. a census of the collectives GSPMD inserted (kind, count, bytes).
+
+Run: PALLAS_AXON_POOL_IPS= python scripts/multichip_real_shapes.py
+Results are recorded in PARITY.md (round 3).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import re
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from diffusion_image_editing_tpu.core import schedule_for_model
+from diffusion_image_editing_tpu.core import schedule as S
+from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+from diffusion_image_editing_tpu.models import (
+    SD15_UNET,
+    SD_VAE,
+    AutoencoderKL,
+    UNet2DCondition,
+)
+from diffusion_image_editing_tpu.parallel import (
+    cfg_mesh,
+    make_sharded_cfg_eps_fn,
+    shard_decode_fn,
+    spatial_shard,
+)
+
+LATENT = 64  # SD-1.5 512px image -> 64x64x4 latent
+CTX_LEN, CTX_DIM = 77, 768
+
+
+def avals(tree):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tree
+    )
+
+
+def build(mesh):
+    unet = UNet2DCondition(SD15_UNET)
+    vae = AutoencoderKL(SD_VAE)
+    k = jax.random.PRNGKey(0)
+    uparams = jax.eval_shape(
+        lambda: unet.init(
+            k, jnp.zeros((1, LATENT, LATENT, 4)), jnp.int32(0),
+            jnp.zeros((1, CTX_LEN, CTX_DIM)),
+        )
+    )
+    vparams = jax.eval_shape(
+        lambda: vae.init(k, jnp.zeros((1, SD_VAE.sample_size, SD_VAE.sample_size, 3)))
+    )
+    text_emb = jax.ShapeDtypeStruct((2, CTX_LEN, CTX_DIM), jnp.float32)
+    eps_fn = make_sharded_cfg_eps_fn(unet.apply, uparams, text_emb, 3.5, mesh)
+    vae_apply = vae.apply
+    keep = spatial_shard(mesh)
+    dec_fn = shard_decode_fn(
+        DecodeClosure(
+            lambda p, z: vae_apply(p, z, method="decode"), vparams, 0.18215
+        ),
+        mesh,
+        # thread the per-stage re-anchor through the decoder: boundary
+        # constraints alone lose 'sp' at the 128/256-px stages (first run of
+        # this script measured max conv H=256 fully replicated)
+        apply_fn=lambda p, z: vae_apply(p, z, method="decode", shard_fn=keep),
+    )
+    return eps_fn, dec_fn
+
+
+def guided_step(sched, eps_fn, dec_fn, af, x, t, idx):
+    """One production edit step: CFG UNet -> DDIM update -> guidance nudge
+    (the body of `engine.edit`)."""
+    eps = jax.lax.stop_gradient(eps_fn(x, t))
+    x_new, _px0 = S.ddim_step(sched, x, eps, t, eta=0.0)
+    x_new, _ = af.apply(x_new, None, eps, t, idx, sched, dec_fn)
+    return x_new
+
+
+def census(hlo: str):
+    """Count GSPMD collectives and their payload bytes in partitioned HLO."""
+    coll = collections.Counter()
+    coll_bytes = collections.Counter()
+    pat = re.compile(
+        r"(\w[\w.-]*) = \S* (all-reduce|all-gather|reduce-scatter|"
+        r"collective-permute|all-to-all)\("
+    )
+    shape_pat = re.compile(r"= ((?:\(?[a-z0-9]+\[[0-9,]*\][^ )]*,? ?)+)\)? (?:all|reduce|collective)")
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+                   "f64": 8, "s8": 1, "u8": 1}
+    for line in hlo.splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        kind = m.group(2)
+        coll[kind] += 1
+        for t_m in re.finditer(r"([a-z0-9]+)\[([0-9,]*)\]", line.split("=")[1].split(kind)[0]):
+            dt, dims = t_m.group(1), t_m.group(2)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            coll_bytes[kind] += n * dtype_bytes.get(dt, 4)
+    return coll, coll_bytes
+
+
+def conv_shapes(hlo: str, top=12):
+    """Largest convolution operand shapes in the partitioned module."""
+    out = []
+    for line in hlo.splitlines():
+        if " convolution(" not in line and " = convolution" not in line:
+            continue
+        shapes = re.findall(r"f32\[([0-9,]+)\]", line)
+        if shapes:
+            dims = [tuple(int(d) for d in s.split(",")) for s in shapes]
+            size = max(int(np.prod(d)) for d in dims)
+            out.append((size, dims[0]))
+    out.sort(reverse=True)
+    return out[:top]
+
+
+def main():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"expected 8 virtual devices, got {n_dev}"
+    mesh = cfg_mesh(cfg=2, sp=4)
+    eps_fn, dec_fn = build(mesh)
+    sched = schedule_for_model("sd", num_inference_steps=50)
+    af = SingleColorAttrFunc(
+        target=0.9, color_idx=0, loss_scale=5.0, t1=0, t2=50,
+        mask_attr_grad=False,
+    )
+    x = jax.ShapeDtypeStruct((1, LATENT, LATENT, 4), jnp.float32)
+    t = jax.ShapeDtypeStruct((), jnp.int32)
+    idx = jax.ShapeDtypeStruct((), jnp.int32)
+
+    print("lowering...", flush=True)
+    lowered = jax.jit(guided_step).lower(sched, eps_fn, dec_fn, af, x, t, idx)
+    print("compiling...", flush=True)
+    compiled = lowered.compile()
+    print("compiled.", flush=True)
+
+    mem = compiled.memory_analysis()
+    report = {
+        "mesh": {"cfg": 2, "sp": 4},
+        "shapes": {"latent": [1, LATENT, LATENT, 4],
+                   "image": [1, SD_VAE.sample_size, SD_VAE.sample_size, 3]},
+    }
+    if mem is not None:
+        report["memory_per_device"] = {
+            "argument_gb": round(mem.argument_size_in_bytes / 2**30, 3),
+            "output_gb": round(mem.output_size_in_bytes / 2**30, 3),
+            "temp_gb": round(mem.temp_size_in_bytes / 2**30, 3),
+            "generated_code_gb": round(
+                getattr(mem, "generated_code_size_in_bytes", 0) / 2**30, 3
+            ),
+        }
+
+    hlo = compiled.as_text()
+    with open("/tmp/sharded_step.hlo", "w") as f:
+        f.write(hlo)
+    coll, coll_bytes = census(hlo)
+    report["collectives"] = {
+        k: {"count": coll[k], "mb": round(coll_bytes[k] / 2**20, 2)} for k in coll
+    }
+    convs = conv_shapes(hlo)
+    report["largest_conv_operands"] = [list(d) for _, d in convs]
+
+    # Partitioning checks: the biggest conv activation must be the sharded
+    # 512px decode tensor (H/sp + halo), NOT the full 512.
+    conv_hs = [d[1] for _, d in convs if len(d) == 4]
+    max_h = max(conv_hs) if conv_hs else 0
+    report["max_conv_operand_h"] = max_h
+    sp = 4
+    # allow generous halo slack (kernel 3 needs +2; GSPMD may fuse a few)
+    sharded = 0 < max_h <= SD_VAE.sample_size // sp + 16
+    report["spatially_partitioned"] = bool(sharded)
+
+    print(json.dumps(report, indent=2))
+    with open("/root/repo/MULTICHIP_SHAPES_r03.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+    assert sharded, (
+        f"decoder convs NOT spatially partitioned: max conv H={max_h} "
+        f"(global {SD_VAE.sample_size})"
+    )
+    if mem is not None:
+        total = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                 + mem.output_size_in_bytes)
+        assert total < 16 * 2**30, f"per-device memory {total/2**30:.1f} GB > 16 GB"
+    print("OK: partitioned over sp, per-device memory fits v5e HBM")
+
+
+if __name__ == "__main__":
+    main()
