@@ -264,3 +264,70 @@ def test_ref_multicolor_loss_parity(ref):
         jnp.asarray(rh.nhwc(img))
     )
     np.testing.assert_allclose(float(ours_single), ref_single, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["split", "fused"])
+def test_ref_pipeline_end_to_end_golden(ref, rig, mode):
+    """Fixed-noise END-TO-END product golden (VERDICT r2 item 10): the
+    reference's own functions composed exactly as
+    `SegDiffEditPipeline.edit_image` composes them for the flagship
+    ddpm-inversion + Tskip + guided case (`SegDiffEditPipeline.py:244-296`:
+    get_noise_pred -> reverse_step -> attr_func.apply per step) vs our
+    `EditPipeline.edit_image`, from the same inversion products. Covers the
+    whole pipeline-level contract — step_idx conventions under Tskip, zs
+    slicing, nudge placement — not just the per-function algebra."""
+    from diffusion_image_editing_tpu.pipeline import DDPM, EditPipeline
+
+    stub, sched, eps_fn = rig
+    af_mod = ref["attr_functions"]
+    du = ref["diffusion_utils"]
+    dp = ref["ddpm_inversion"]
+    t_skip, eta = 3, 1.0
+
+    x0_t, x0_j = _x0(13)
+    xts0_t, _, zs_ref, xts_ref = _ref_ddpm_invert(ref, stub, x0_t, seed=17)
+
+    # ---- reference chain (its own released code, composed per the pipeline)
+    ref_af = af_mod.SingleColorAttrFunc(
+        target=0.7, color_idx=2, loss_scale=3.0, t1=0, t2=N_STEPS
+    )
+    xt = xts_ref[t_skip].unsqueeze(0)
+    zs_sl = zs_ref[t_skip:]
+    for step_idx, timestep in du.diffusion_loop(stub, zs_sl, prog_bar=False):
+        with torch.no_grad():
+            noise_pred = du.get_noise_pred(stub, xt, timestep)
+        variance_noise = du.get_variance_noise(zs_sl, step_idx, eta)
+        xt = dp.reverse_step(
+            model=stub, model_output=noise_pred, timestep=timestep,
+            sample=xt, eta=eta, variance_noise=variance_noise,
+        )
+        xt, variance_noise = ref_af.apply(
+            xt=xt, zt=variance_noise, model_output=noise_pred,
+            timestep=timestep, step_idx=step_idx, model=stub,
+        )
+    ref_img = xt.detach().numpy()
+
+    # ---- our pipeline, from the same inversion products
+    from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+    from diffusion_image_editing_tpu.models.port import port_state_dict
+
+    mirror = stub.unet.mirror
+    params = jax.tree.map(
+        jnp.asarray,
+        port_state_dict(
+            {k: v.numpy() for k, v in mirror.state_dict().items()}, "unet2d"
+        ),
+    )
+    w = DDPM(UNet2D(TINY_UNET2D), params, sched)
+    pipe = EditPipeline(w, None)
+    af = SingleColorAttrFunc(
+        target=0.7, color_idx=2, loss_scale=3.0, t1=0, t2=N_STEPS
+    )
+    res = I.ddpm_invert(sched, eps_fn, x0_j, eta=eta, xts=_to_jax_traj(xts0_t))
+    out = pipe.edit_image(
+        res.xt, eta=eta, zs=res.zs, xts=res.xts, attr_func=af,
+        inversion_method="ddpm", t_skip=t_skip, collect=False, mode=mode,
+    )
+    np.testing.assert_allclose(
+        rh.nchw(out.imgs), ref_img, rtol=1e-3, atol=1e-4
+    )
