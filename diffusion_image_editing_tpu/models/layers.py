@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from ..ops.conv import Conv3x3
 from ..ops.groupnorm import group_norm
 
 Array = jax.Array
@@ -75,7 +76,7 @@ class ResnetBlock2D(nn.Module):
         s1 = self.param("norm1_scale", nn.initializers.ones, (in_channels,))
         b1 = self.param("norm1_bias", nn.initializers.zeros, (in_channels,))
         h = group_norm(x, s1, b1, self.norm_num_groups, self.norm_eps, act="silu")
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
@@ -88,7 +89,7 @@ class ResnetBlock2D(nn.Module):
         h = group_norm(h, s2, b2, self.norm_num_groups, self.norm_eps, act="silu")
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
             residual = nn.Conv(
@@ -160,7 +161,7 @@ class Upsample2D(nn.Module):
     def __call__(self, x: Array) -> Array:
         n, h, w, c = x.shape
         x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 class GroupNormLayer(nn.Module):

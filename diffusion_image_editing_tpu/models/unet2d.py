@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv import Conv3x3
 from .layers import (
     AttentionBlock2D,
     Downsample2D,
@@ -121,8 +122,8 @@ class UNet2D(nn.Module):
             t_emb
         )
 
-        h = nn.Conv(
-            cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
+        h = Conv3x3(
+            cfg.block_out_channels[0], dtype=self.dtype, name="conv_in"
         )(sample.astype(self.dtype))
 
         # --- down path ---
@@ -200,5 +201,5 @@ class UNet2D(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        h = Conv3x3(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
         return h.astype(jnp.float32)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from ..ops.conv import Conv3x3
 from .layers import (
     Downsample2D,
     GroupNormLayer,
@@ -173,7 +174,7 @@ class UNet2DCondition(nn.Module):
         temb = TimeEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
         context = context.astype(self.dtype)
 
-        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+        h = Conv3x3(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(
             sample.astype(self.dtype)
         )
 
@@ -225,5 +226,5 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        h = Conv3x3(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
         return h.astype(jnp.float32)

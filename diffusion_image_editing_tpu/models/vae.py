@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv import Conv3x3
 from .layers import AttentionBlock2D, Downsample2D, GroupNormLayer, ResnetBlock2D, Upsample2D
 
 Array = jax.Array
@@ -70,7 +71,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cfg = self.config
-        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = Conv3x3(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(x)
         for i, out_ch in enumerate(cfg.block_out_channels):
             is_final = i == len(cfg.block_out_channels) - 1
             for j in range(cfg.layers_per_block):
@@ -87,7 +88,7 @@ class Encoder(nn.Module):
         h = ResnetBlock2D(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_1")(h)
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
         out_c = cfg.latent_channels * (2 if cfg.double_z else 1)
-        return nn.Conv(out_c, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return Conv3x3(out_c, dtype=self.dtype, name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -119,7 +120,7 @@ class Decoder(nn.Module):
         Attn = nn.remat(AttentionBlock2D) if remat else AttentionBlock2D
         reversed_out = list(reversed(cfg.block_out_channels))
         c = reversed_out[0]
-        h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = Conv3x3(c, dtype=self.dtype, name="conv_in")(z)
         h = Res(c, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_0")(h)
         if cfg.mid_attention:
             h = Attn(None, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_attn")(h)
@@ -136,7 +137,7 @@ class Decoder(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
             h = keep(h)
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
-        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return Conv3x3(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
 
 
 class AutoencoderKL(nn.Module):

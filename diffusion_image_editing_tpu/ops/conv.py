@@ -1,0 +1,162 @@
+"""Measured-dispatch 3x3 convolution for the UNet / VAE hot path.
+
+Round-3 per-shape survey on the v5e (`scripts/conv_survey.py`, N-sweep slope
+methodology — see CLAUDE.md rule 2) showed XLA's `conv_general_dilated` is
+well off MXU peak on the small-spatial shapes diffusion lives at, while the
+classic "shift9" decomposition — 9 shifted (B*H*W, Cin) x (Cin, Cout)
+matmuls accumulated in f32 — reaches 60-96% of bf16 peak there:
+
+    shape                 rows    xla %peak   shift9 %peak
+    unet64  (2,64,64,320)   8192      47.6        59.8
+    unet32  (2,32,32,640)   2048      78.6        94.9
+    unet16  (2,16,16,1280)   512      62.3        73.6
+    unet16cat (..2560->1280) 512      54.8        84.8
+    vae64   (1,64,64,512)   4096      71.0        95.6
+    vae128  (1,128,128,512) 16384     75.0        95.1
+    unet8   (2,8,8,1280)     128      35.7        29.8   <- xla
+    vae256  (1,256,256,512) 65536     76.4        47.3   <- xla
+    vae512  (1,512,512,128) 262144    43.5        11.5   <- xla
+
+The crossover is spatial size: shift9 re-reads the padded input 9x, which is
+free while the working set rides VMEM/caches but loses to XLA's direct conv
+once the activation spills (>= 256x256).
+
+**End-to-end, the standalone wins DO NOT transfer** (`scripts/
+ab_conv_dispatch.py`, trace-census-verified, interleaved 4x50-step passes of
+the full SD-1.5 512px guided edit, one process):
+
+    xla everywhere            70.28 ms/step   (14.23 steps/s)
+    shift9 on its win window  71.63           (-2%)
+    shift9 everywhere        160.11           (-56%)
+
+In the real graph XLA fuses the GroupNorm/SiLU/bias epilogues and residual
+adds into its convs; the shift9 decomposition (pad + 9 slices + 9 matmuls)
+breaks those fusions and pays the elementwise traffic separately, which eats
+the MXU-rate gain. Same shape of result as the round-2 GroupNorm finding
+(standalone Pallas GN won, fused XLA GN+conv won end-to-end). Dispatch is
+therefore measured, not assumed:
+
+    auto  ->  XLA conv on every shape (the end-to-end winner)
+
+`DIE_TPU_CONV` env: "shift9" forces the decomposition (A/B harnesses),
+"xla" is explicit, unset/"auto" uses the measured dispatch. NOTE the flag is
+read at TRACE time — set it before the program first runs (TRACE_COUNTS
+lets harnesses verify).
+
+`Conv3x3` is a drop-in for `flax.linen.Conv` on the 3x3 stride-1 case with
+IDENTICAL parameter structure ('kernel' (3,3,Cin,Cout), 'bias' (Cout,)), so
+checkpoint ports (`models/port.py`) are unaffected.
+
+The decomposition is plain jnp, so jax.grad differentiates it: dgrad is 9
+transposed matmuls (same structure, same efficiency class) and wgrad is 9
+(Cin, rows) x (rows, Cout) matmuls — both exercised by the guidance VJP and
+the seg trainer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+# Standalone-survey win window for shift9 (rows = B*H*W). Kept for the
+# "shift9" forced mode and future A/Bs; the measured AUTO dispatch is XLA
+# everywhere (see module docstring — fusion beats raw MXU rate e2e).
+_ROWS_MIN = 256
+_ROWS_MAX = 32768
+
+# Trace-time dispatch census. DIE_TPU_CONV is read when a program is TRACED,
+# not when it runs — an A/B harness that flips the env var after tracing
+# changes nothing. These counters increment at trace time so harnesses can
+# assert which path each program actually captured (see
+# scripts/ab_conv_dispatch.py, which was bitten by exactly this).
+TRACE_COUNTS = {"shift9": 0, "xla": 0}
+
+
+def snapshot_trace_counts() -> dict:
+    return dict(TRACE_COUNTS)
+
+
+def conv_mode() -> str:
+    v = os.environ.get("DIE_TPU_CONV", "auto").lower()
+    if v not in ("auto", "xla", "shift9"):
+        raise ValueError(f"DIE_TPU_CONV must be auto|xla|shift9, got {v}")
+    return v
+
+
+def _use_shift9(rows: int) -> bool:
+    mode = conv_mode()
+    if mode == "shift9":
+        return True
+    # auto == xla: the end-to-end A/B (module docstring) showed XLA's
+    # epilogue fusion beats shift9's higher standalone MXU rate everywhere.
+    return False
+
+
+def conv3x3_shift9(x: Array, w: Array) -> Array:
+    """3x3 stride-1 pad-1 conv as 9 shifted matmuls, f32 accumulation."""
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            window = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (b, h, wd, cin))
+            m = window.reshape(b * h * wd, cin)
+            part = jax.lax.dot(m, w[dy, dx], preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc.reshape(b, h, wd, cout).astype(x.dtype)
+
+
+def conv3x3_xla(x: Array, w: Array) -> Array:
+    # no preferred_element_type: lax.conv's TRANSPOSE rule doesn't cast the
+    # f32 cotangent back against bf16 operands (breaks the guidance VJP);
+    # the MXU accumulates bf16 convs in f32 internally regardless, so the
+    # numerics match what nn.Conv emitted. lax.dot's transpose handles the
+    # mixed case, so shift9 keeps explicit f32 accumulation.
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv3x3(x: Array, w: Array) -> Array:
+    """Dispatched 3x3 stride-1 conv (NHWC x HWIO -> NHWC)."""
+    if _use_shift9(x.shape[0] * x.shape[1] * x.shape[2]):
+        TRACE_COUNTS["shift9"] += 1
+        return conv3x3_shift9(x, w)
+    TRACE_COUNTS["xla"] += 1
+    return conv3x3_xla(x, w)
+
+
+class Conv3x3(nn.Module):
+    """`nn.Conv(features, (3,3), padding=1)` drop-in with measured dispatch.
+
+    Parameter names/shapes match `nn.Conv` exactly so `models/port.py` and
+    existing checkpoints are oblivious to the swap.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        y = conv3x3(x, kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y

@@ -1,0 +1,93 @@
+"""End-to-end A/B of the conv dispatch (DIE_TPU_CONV auto/shift9/xla) on
+the SD-1.5 512px guided edit, per the project measurement rules: all
+variants built as separate programs in ONE process, every program warmed
+with full 50-step passes, then interleaved A/B/A/B passes of 50 chained
+steps with a single readback per pass.
+
+CRITICAL trace-time detail (the first version of this script was invalid):
+`DIE_TPU_CONV` is read when the program is TRACED, and fresh `jax.jit`
+wrappers trace lazily at first CALL — so each variant must be warmed
+immediately after setting its env var, before building the next variant.
+`ops.conv.TRACE_COUNTS` verifies at runtime which path each program
+captured; the script aborts if a variant traced the wrong path.
+
+RESULT (v5e, 2026-08-17, census-verified): xla 70.28 ms/step, shift9 on its
+standalone win window 71.63, shift9 everywhere 160.11 — XLA's epilogue
+fusion beats shift9's higher raw MXU rate end-to-end; auto dispatch is now
+XLA on every shape (`ops/conv.py` docstring).
+
+Run on the chip:  python scripts/ab_conv_dispatch.py
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+STEPS = 50
+
+
+def main():
+    assert jax.default_backend() != "cpu", "A/B needs the chip"
+    from bench import _build_models, build_edit_step
+    from diffusion_image_editing_tpu.ops import conv as C
+
+    models = _build_models(tiny=False)  # shared weights; programs differ
+
+    variants = {}
+    for v in ("xla", "auto", "shift9"):
+        os.environ["DIE_TPU_CONV"] = v
+        denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+            build_edit_step(False, models=models)
+        )
+        timesteps = jnp.asarray(sched.timesteps)
+
+        def run_pass(x, _d=denoise_step, _g=guidance_nudge, _e=eps_fn,
+                     _dec=decode_fn, _a=attr, _ts=timesteps):
+            for i in range(STEPS):
+                t = _ts[i]
+                x, eps = _d(_e, x, t)
+                x = _g(_dec, _a, x, eps, t, jnp.int32(i))
+            return float(jnp.sum(x))  # one sync per pass
+
+        before = C.snapshot_trace_counts()
+        run_pass(xt)  # traces + compiles NOW, under this variant's env var
+        after = C.snapshot_trace_counts()
+        delta = {k: after[k] - before[k] for k in after}
+        print(f"built+traced {v}: conv trace census {delta}", flush=True)
+        if v == "xla" and delta["shift9"]:
+            raise RuntimeError("xla variant traced shift9 convs — A/B invalid")
+        if v == "shift9" and delta["xla"]:
+            raise RuntimeError("shift9 variant traced xla convs — A/B invalid")
+        # (The decisive 2026-08-17 run used the pre-decision auto rule —
+        # shift9 on 256<=rows<=32768 — census {'shift9': 53, 'xla': 29};
+        # auto has since been set to the e2e winner, XLA everywhere.)
+        variants[v] = (run_pass, xt)
+
+    # second warm pass for every program (relay first-program artifact)
+    for v, (run, xt) in variants.items():
+        run(xt)
+        print("warmed", v, flush=True)
+
+    times = {v: [] for v in variants}
+    for p in range(4):
+        for v, (run, xt) in variants.items():
+            t0 = time.perf_counter()
+            run(xt)
+            times[v].append(time.perf_counter() - t0)
+        print(f"pass {p}:",
+              {v: f"{min(ts)/STEPS*1e3:.2f} ms/step" for v, ts in times.items()},
+              flush=True)
+
+    for v, ts in times.items():
+        best = min(ts)
+        print(f"{v}: best {best:.3f} s/pass = {best/STEPS*1e3:.2f} ms/step "
+              f"= {STEPS/best:.2f} steps/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

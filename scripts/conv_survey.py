@@ -9,10 +9,14 @@ TFLOP/s of three implementations:
   shift9  — 9 shifted (B*H*W, Cin) x (Cin, Cout) matmuls accumulated in f32
             (no 9x activation materialization; the classic TPU decomposition)
 
-Methodology (CLAUDE.md rules 2/8): each variant is ONE jitted program that
-scans N chained conv applications (data dependency through a scalar tap, so
-nothing hoists); programs are warmed with full passes and the variants are
-interleaved A/B/A/B across passes; readback inside the timed region.
+Methodology (CLAUDE.md rules 2/8, sharpened round 3): every SYNCED call
+through the axon relay carries a fixed ~23.5 ms latency (measured: a scan of
+N chained convs costs F + N*c with F ~= 23.5 ms for N in {1,10,30,100} —
+`/tmp/scanlen_probe.py`), so per-op times from single calls are garbage.
+Each variant is ONE jitted program scanning N back-to-back convs
+(x_{i+1} = conv(x_i), true data dependence, no reduction barrier); the
+per-conv cost is the N-SWEEP SLOPE c = (t(N_HI) - t(N_LO)) / (N_HI - N_LO),
+which cancels F exactly. Variants are interleaved A/B/A/B across passes.
 
 Run on the chip:  python scripts/conv_survey.py
 Results go into PARITY.md round 3.
@@ -92,21 +96,40 @@ def conv_shift9(x, w):
 IMPLS = {"xla": conv_xla, "im2col": conv_im2col, "shift9": conv_shift9}
 
 
-def build_program(impl, shape):
+N_LO, N_HI = 10, 110
+
+
+def build_program(impl, shape, n):
     _, b, h, w_, cin, cout = shape
     f = IMPLS[impl]
 
-    @jax.jit
-    def prog(x0, w):
-        def body(carry, _):
-            x = x0 + carry  # scalar-broadcast dependency; nothing hoists
-            y = f(x, w)
-            return (jnp.mean(y) * 1e-12).astype(x0.dtype), ()
+    if cin == cout:
+        # direct chain: x_{i+1} = conv(x_i) — true back-to-back convs.
+        @functools.partial(jax.jit, static_argnums=2)
+        def prog(x0, w, n_):
+            def body(x, _):
+                return f(x, w), ()
 
-        final, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), None, length=SCAN_N)
-        return final
+            final, _ = jax.lax.scan(body, x0, None, length=n_)
+            return jnp.mean(final)
 
-    return prog
+    else:
+        @functools.partial(jax.jit, static_argnums=2)
+        def prog(x0, w, n_):
+            def body(carry, _):
+                x = x0 + carry  # scalar-broadcast dependency; nothing hoists
+                y = f(x, w)
+                return (jnp.mean(y) * 1e-12).astype(x0.dtype), ()
+
+            final, _ = jax.lax.scan(
+                body, jnp.zeros((), x0.dtype), None, length=n_
+            )
+            return final
+
+    return lambda x, w: prog(x, w, n)
+
+
+OUT_PATH = os.environ.get("CONV_SURVEY_OUT", "/tmp/conv_survey.json")
 
 
 def main():
@@ -116,50 +139,48 @@ def main():
         print("survey needs the TPU; aborting")
         return
     key = jax.random.PRNGKey(0)
+    only = os.environ.get("CONV_SURVEY_ONLY")
+    shapes = [s for s in SHAPES if (only is None or only in s[0])]
     results = {}
-    progs = {}
-    data = {}
-    for shape in SHAPES:
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            results = json.load(f)
+
+    for shape in shapes:
         tag, b, h, w_, cin, cout = shape
+        if tag in results:
+            print("skip (done):", tag, flush=True)
+            continue
         x = jax.random.normal(key, (b, h, w_, cin), jnp.bfloat16)
         wgt = jax.random.normal(key, (3, 3, cin, cout), jnp.bfloat16) * 0.02
-        data[tag] = (x, wgt)
-        for impl in IMPLS:
-            progs[(tag, impl)] = build_program(impl, shape)
-
-    # warm every program fully (relay first-program artifact)
-    for (tag, impl), prog in progs.items():
-        x, wgt = data[tag]
-        for _ in range(3):
-            float(prog(x, wgt))
-    print("warmed", flush=True)
-
-    # interleaved passes
-    times = {k: [] for k in progs}
-    for p in range(4):
-        for (tag, impl), prog in progs.items():
-            x, wgt = data[tag]
-            t0 = time.perf_counter()
+        progs = {
+            (impl, n): build_program(impl, shape, n)
+            for impl in IMPLS for n in (N_LO, N_HI)
+        }
+        # warm every variant fully (relay first-program artifact)
+        for prog in progs.values():
             for _ in range(2):
                 float(prog(x, wgt))
-            times[(tag, impl)].append((time.perf_counter() - t0) / (2 * SCAN_N))
-        print(f"pass {p} done", flush=True)
-
-    for shape in SHAPES:
-        tag, b, h, w_, cin, cout = shape
+        # interleaved A/B/A/B passes
+        times = {k: [] for k in progs}
+        for _p in range(3):
+            for k, prog in progs.items():
+                t0 = time.perf_counter()
+                float(prog(x, wgt))
+                times[k].append(time.perf_counter() - t0)
         flops = 2 * b * h * w_ * cin * cout * 9
         row = {}
         for impl in IMPLS:
-            t = min(times[(tag, impl)])  # best interleaved pass
+            # slope of the N-sweep cancels the fixed per-call relay latency
+            t = (min(times[(impl, N_HI)]) - min(times[(impl, N_LO)])) / (N_HI - N_LO)
             tf = flops / t / 1e12
             row[impl] = {"ms": round(t * 1e3, 3), "tflops": round(tf, 1),
                          "pct_peak": round(100 * tf / BF16_PEAK_TFLOPS, 1)}
         results[tag] = {"shape": list(shape[1:]), "gflop": round(flops / 1e9, 2), **row}
         print(tag, json.dumps(row), flush=True)
-
-    with open("/tmp/conv_survey.json", "w") as f:
-        json.dump(results, f, indent=2)
-    print("wrote /tmp/conv_survey.json")
+        with open(OUT_PATH, "w") as f:
+            json.dump(results, f, indent=2)
+    print("wrote", OUT_PATH, flush=True)
 
 
 if __name__ == "__main__":
