@@ -242,6 +242,99 @@ def phase_e2e(tiny, models, reps=2):
     return _timed_pass(run_pass, xt * 0.5, xt * 0.1, reps)
 
 
+def phase_e2e_seg(tiny, models, reps=2):
+    """Flagship product flow, wall-clock: FFHQ-align (synthetic landmarks) ->
+    BiSeNet segment -> hair mask -> edit-friendly DDPM inversion (timestep-
+    parallel) -> masked resynthesized NetAttrFunc-guided edit — the
+    reference's headline SegDiffEditPipeline path
+    (`src/SegDiffEditPipeline.py:152-302` + `src/real_image_editing_utils.py:
+    10-24`), driven through the REAL pipeline API (EditPipeline), host align
+    included in the timed region."""
+    from PIL import Image
+
+    from diffusion_image_editing_tpu.guidance import NetAttrFunc
+    from diffusion_image_editing_tpu.host.alignment import align_face
+    from diffusion_image_editing_tpu.host.transforms import pil_to_array
+    from diffusion_image_editing_tpu.models.bisenet import BiSeNet, SegmentationModel
+    from diffusion_image_editing_tpu.ops.resize import imagenet_normalize, to_unit_range
+    from diffusion_image_editing_tpu.pipeline.edit_pipeline import EditPipeline
+    from diffusion_image_editing_tpu.pipeline.wrappers import SD
+
+    m = models
+    img_size = m["vcfg"].sample_size
+
+    class _FixedTextSD(SD):
+        """SD wrapper with a fixed [uncond; cond] embedding (no CLIP weights
+        on this machine; bench uses the same random embedding everywhere)."""
+
+        def __init__(self, *a, fixed_text_emb=None, **kw):
+            super().__init__(*a, **kw)
+            self._fixed_emb = fixed_text_emb
+
+        def prep_text(self, prompt_ids):
+            return self._fixed_emb
+
+    sd = _FixedTextSD(m["unet"], m["uparams"], m["sched"], m["vae"], m["vparams"],
+                      fixed_text_emb=m["text_emb"])
+
+    width = 8 if tiny else 64
+    seg = BiSeNet(n_classes=19, width=width)
+    sparams = jax.jit(seg.init)(
+        jax.random.PRNGKey(7), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    )
+    seg_model = SegmentationModel(seg, sparams, image_size=img_size)
+    pipe = EditPipeline(sd, segmentation_fn=seg_model)
+
+    seg_apply = seg.apply
+
+    def seg_logits(p, img):
+        x = imagenet_normalize(to_unit_range(img.astype(jnp.float32)))
+        return seg_apply(p, x)[0]
+
+    attr = NetAttrFunc(
+        loss_scale=200.0, t1=0, t2=STEPS, seg_params=sparams,
+        seg_apply_fn=seg_logits, idx_for_class=(17,),
+    )
+
+    # synthetic face geometry in a img_size-square frame (eyes + mouth corners
+    # are all align_quad consumes)
+    s = img_size / 512.0
+    lm = np.zeros((68, 2))
+    lm[36:42] = np.array([200, 220]) * s
+    lm[42:48] = np.array([312, 220]) * s
+    lm[48] = np.array([215, 370]) * s
+    lm[54] = np.array([297, 370]) * s
+
+    t_skip = STEPS // 5
+    key = jax.random.PRNGKey(3)
+
+    def run_pass(img):
+        a = np.asarray(img)[0]
+        pil = Image.fromarray(
+            np.clip((a + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        )
+        aligned = align_face(pil, landmarks=lm, output_size=img_size,
+                             transform_size=img_size)
+        x = jnp.asarray(pil_to_array(aligned))
+        xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
+            x, eta=1.0, inversion_method="ddpm", classes=[17],
+            key=key, mode="batched",
+        )
+        out = pipe.edit_image(
+            xt, eta=1.0, zs=zs, xts=xts, mask=mask, attr_func=attr,
+            inversion_method="ddpm", t_skip=t_skip, resynthesize=True,
+            key=key, collect=False, mode="split",
+        )
+        return out.imgs
+
+    rng = np.random.default_rng(0)
+    warm = jnp.asarray(rng.normal(size=(1, img_size, img_size, 3)) * 0.3,
+                       jnp.float32).clip(-1, 1)
+    start = jnp.asarray(rng.normal(size=(1, img_size, img_size, 3)) * 0.3,
+                        jnp.float32).clip(-1, 1)
+    return _timed_pass(run_pass, warm, start, reps)
+
+
 _RESULT = {"steps_per_sec": None, "extras": {}, "tiny": False}
 
 
@@ -281,7 +374,7 @@ def main():
     backend = jax.default_backend()
     tiny = backend == "cpu"
     _RESULT["tiny"] = tiny
-    default_phases = "headline" if tiny else "headline,e2e,batch,seg"
+    default_phases = "headline" if tiny else "headline,e2e,e2e_seg,batch,seg"
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
     extras = _RESULT["extras"]
@@ -290,6 +383,8 @@ def main():
         _RESULT["steps_per_sec"] = phase_guided_edit(tiny, models)
     if "e2e" in phases:
         extras["e2e_invert_edit_s"] = round(phase_e2e(tiny, models), 3)
+    if "e2e_seg" in phases:
+        extras["e2e_seg_edit_s"] = round(phase_e2e_seg(tiny, models), 3)
     if "batch" in phases:
         for b in (2, 4):
             sps = phase_guided_edit(tiny, models, batch=b, reps=2)

@@ -188,8 +188,15 @@ def variance(s: Schedule, t: Array) -> Array:
 def _bcast(scalar: Array, like: Array) -> Array:
     """Broadcast a () scalar — or a (B,) per-sample vector — against an NHWC
     sample. Vector support lets every step function take a different timestep
-    per batch element (used by the timestep-parallel DDPM inversion)."""
-    scalar = scalar.astype(like.dtype)
+    per batch element (used by the timestep-parallel DDPM inversion).
+
+    Schedule algebra is f32 BY CONTRACT: never downcast the coefficient to
+    the sample's dtype. A bf16 sample (e.g. a latent straight from the bf16
+    VAE encoder) used to drag alpha_bar/variance to bf16 by promotion, where
+    near t=0 the rounded direction radicand 1 - a_prev - eta*var went
+    NEGATIVE -> sqrt -> NaN (caught by the e2e seg bench; step outputs are
+    f32 for bf16 inputs now — models cast to their compute dtype on entry)."""
+    scalar = scalar.astype(jnp.promote_types(like.dtype, jnp.float32))
     if scalar.ndim == 1 and like.ndim > 1:
         scalar = scalar.reshape((-1,) + (1,) * (like.ndim - 1))
     return scalar
@@ -226,7 +233,9 @@ def ddim_step(
     x0 = pred_original_sample(s, sample, eps, t)
     var = _bcast(variance(s, t), sample)
     std_dev = eta * jnp.sqrt(var)
-    direction = jnp.sqrt(1.0 - a_prev - std_dev**2) * eps
+    # clamp: the radicand is >= 0 analytically but fp rounding can push it
+    # fractionally negative at the t~0 boundary (sqrt(neg) = NaN)
+    direction = jnp.sqrt(jnp.maximum(1.0 - a_prev - std_dev**2, 0.0)) * eps
     prev = jnp.sqrt(a_prev) * x0 + direction
     if eta > 0:
         if noise is None:
@@ -252,7 +261,7 @@ def reverse_step(
     a_prev = _bcast(alpha_bar(s, prev_timestep(s, t)), sample)
     x0 = (sample - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
     var = _bcast(variance(s, t), sample)
-    direction = jnp.sqrt(1.0 - a_prev - eta * var) * eps
+    direction = jnp.sqrt(jnp.maximum(1.0 - a_prev - eta * var, 0.0)) * eps
     prev = jnp.sqrt(a_prev) * x0 + direction
     if eta > 0:
         if noise is None:
@@ -303,7 +312,7 @@ def posterior_mean_from_eps(
     a_prev = _bcast(alpha_bar(s, prev_timestep(s, t)), sample)
     x0 = (sample - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
     var = _bcast(variance(s, t), sample)
-    direction = jnp.sqrt(1.0 - a_prev - eta * var) * eps
+    direction = jnp.sqrt(jnp.maximum(1.0 - a_prev - eta * var, 0.0)) * eps
     mu = jnp.sqrt(a_prev) * x0 + direction
     sigma = eta * jnp.sqrt(var)
     return mu, sigma

@@ -60,9 +60,12 @@ def sample_xts(
     (`src/ddpm_inversion.py:31-55`). Returns (S+1, B, H, W, C) with
     xts[idx] matching timesteps[idx] (idx 0 noisiest) and xts[S] = x0."""
     n = sched.num_inference_steps
-    noise = jax.random.normal(key, (n,) + x0.shape, x0.dtype)
-    a = S.alpha_bar(sched, sched.timesteps)  # (S,)
-    a = a.reshape((n,) + (1,) * x0.ndim).astype(x0.dtype)
+    x0 = x0.astype(jnp.float32)  # trajectory algebra is f32 by contract:
+    # near t~0, sqrt(1-a) in bf16 rounds to 0 and the extracted noise maps
+    # degenerate (same family of bug as core.schedule._bcast — see there)
+    noise = jax.random.normal(key, (n,) + x0.shape, jnp.float32)
+    a = S.alpha_bar(sched, sched.timesteps)  # (S,), f32
+    a = a.reshape((n,) + (1,) * x0.ndim)
     xts = jnp.sqrt(a) * x0[None] + jnp.sqrt(1.0 - a) * noise
     return jnp.concatenate([xts, x0[None]], axis=0)
 
@@ -105,7 +108,11 @@ def ddpm_invert(
     # step is independent. Streaming the trajectory as scan xs and emitting
     # (z, corrected x_{t-1}) as ys removes the 51-frame carry whose per-step
     # dynamic slice/update made the old carry form 12x slower than the split
-    # host loop (311 vs 25 ms/step on v5e, PARITY.md round 2).
+    # host loop (311 vs 25 ms/step on v5e, PARITY.md round 2). Measured after
+    # the restructure (round-3 interleaved A/B, scripts/ab_inversion_scan.py):
+    # fused 21.34 vs split 22.81 ms/step — the pathology is gone and the
+    # fused scan is now the faster single-dispatch form (timestep-parallel
+    # `ddpm_invert_batched` remains fastest at 20.4, PARITY.md).
     def body(_, inputs):
         xt, xtm1, t = inputs
         eps = eps_fn(xt, t)

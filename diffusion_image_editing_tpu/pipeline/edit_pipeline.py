@@ -151,14 +151,20 @@ class EditPipeline:
         prompt_ids: Optional[Array] = None,
         cfg_scale: float = 3.5,
         key: Optional[Array] = None,
-        mode: str = "split",
+        mode: Optional[str] = None,
     ):
         """Invert a real image for editing (`SegDiffEditPipeline.py:152-200`).
 
-        mode="split" (default) runs the inversion as a host loop of per-step
-        jits — like `edit_image(mode="split")`, the measured-fast form on this
-        stack (UNet inside `lax.scan` loses Pallas pipelining); "fused" keeps
-        the single-dispatch scan program."""
+        mode=None picks the measured-fastest form per method (round-3
+        interleaved A/Bs, PARITY.md): "batched" for DDPM (timestep-parallel
+        z-extraction, 20.4 ms/step) and "split" for DDIM. Explicit options:
+        "split" host-loops per-step jits (compiles in seconds — interactive
+        runs); "fused" is the single-dispatch carry-free scan (21.34
+        ms/step since the round-3 restructure; the round-2 311 ms/step
+        trajectory-carry pathology is fixed); "batched" (DDPM only) extracts
+        independent timesteps as chunked flat-batched UNet calls."""
+        if mode is None:
+            mode = "batched" if inversion_method == "ddpm" else "split"
         if inversion_method == "ddim" and eta > 0:
             raise ValueError("eta > 0 and inversion_method == 'ddim' is not possible")
 

@@ -108,19 +108,18 @@ class DiffusionWrapper:
         prompt_ids: Optional[Array] = None,
         cfg_scale: float = 3.5,
         collect: bool = False,
-        mode: str = "split",
+        mode: str = "fused",
     ) -> Tuple[Array, D.Trajectory]:
         """One denoising run; returns (decoded image NHWC [-1,1], Trajectory).
         `src/base_diffusion.py:49-97` parity.
 
-        mode="split" (default) host-loops one jitted step per timestep;
-        "fused" keeps the single-dispatch whole-loop program. The split
-        default comes from its compile time (seconds vs minutes) — the two
-        modes' steady-state rates for the plain generation loop are to be
-        set from an interleaved A/B at the final dispatch (the pathological
-        fused case is the trajectory-carrying INVERSION scan, a different
-        program; the guided edit scan reached split parity in round 2,
-        PARITY.md)."""
+        mode="fused" (default) runs the whole loop as ONE jitted lax.scan —
+        measured faster than the split host loop at the final dispatch
+        (round-3 interleaved A/B, `scripts/ab_generation_loop.py`: fused
+        21.51 vs split 22.47 ms/step on the SD 512px CFG loop, PARITY.md).
+        mode="split" host-loops one jitted step per timestep; it compiles in
+        seconds instead of minutes — the right trade for interactive
+        one-off runs."""
         sched = self._sched_for(num_inference_steps)
         text_emb = self.prep_text(prompt_ids)
         eps_fn = self.eps_fn(text_emb, cfg_scale)

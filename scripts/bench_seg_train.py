@@ -1,0 +1,112 @@
+"""BiSeNet training step bench at the REFERENCE recipe scale (VERDICT r2
+item 5): 448x448, width 64, batch 16/device, ~100 measured steps on the v5e
+— the first capability-at-scale number for the seg trainer (reference:
+2-GPU `src/Segmentation/train.py:56-59,91,111-160`).
+
+Methodology (CLAUDE.md rule 2): the train loop chains TrainState through N
+steps with NO host readback inside (async dispatch streams through the
+relay), one `float(loss)` sync at the end; the fixed ~23.5 ms relay latency
+per synced call is cancelled by timing two loop lengths and using the SLOPE
+(t_hi - t_lo) / (N_hi - N_lo). Device-resident fixed batch isolates the
+step; a host-fed pass through `batch_iterator` measures the input pipeline
+on top.
+
+Run on the chip:  python scripts/bench_seg_train.py
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from jax.sharding import Mesh  # noqa: E402
+
+from diffusion_image_editing_tpu.seg.data import SyntheticFaceMask, batch_iterator  # noqa: E402
+from diffusion_image_editing_tpu.seg.train import (  # noqa: E402
+    TrainConfig,
+    create_train_state,
+    make_sharded_train_step,
+    shard_batch,
+)
+
+N_LO, N_HI = 10, 60
+SIZE, BATCH, WIDTH = 448, 16, 64
+
+
+def build(norm: str, mesh: Mesh):
+    cfg = TrainConfig(image_size=SIZE, batch_size_per_device=BATCH,
+                      norm=norm, width=WIDTH)
+    axis_name = "dp" if norm == "abn_sync" else None
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), axis_name)
+    step_fn = make_sharded_train_step(model, cfg, mesh)
+    rng = np.random.default_rng(0)
+    images, labels = shard_batch(
+        (rng.normal(size=(BATCH, SIZE, SIZE, 3)).astype(np.float32),
+         rng.integers(0, cfg.n_classes, (BATCH, SIZE, SIZE)).astype(np.int32)),
+        mesh,
+    )
+    return state, step_fn, images, labels
+
+
+def chained(step_fn, state, images, labels, n):
+    for _ in range(n):
+        state, loss = step_fn(state, images, labels)
+    return state, float(loss)
+
+
+def main():
+    assert jax.default_backend() != "cpu", "bench needs the chip"
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    results = {}
+    for norm in ("bn", "abn", "abn_sync"):
+        state, step_fn, images, labels = build(norm, mesh)
+        # compile + full warm (relay first-program artifact)
+        state, _ = chained(step_fn, state, images, labels, N_LO)
+        print(f"{norm}: compiled+warmed", flush=True)
+
+        slopes = []
+        for p in range(3):
+            t0 = time.perf_counter()
+            state, _ = chained(step_fn, state, images, labels, N_LO)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state, _ = chained(step_fn, state, images, labels, N_HI)
+            t_hi = time.perf_counter() - t0
+            ms = (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+            slopes.append(ms)
+            print(f"  {norm} pass {p}: {ms:.1f} ms/step "
+                  f"({BATCH/ms*1e3:.1f} img/s)", flush=True)
+        best = min(slopes)
+        results[norm] = best
+
+    # input pipeline on top: host-fed via batch_iterator (synthetic 448px
+    # samples generated + stacked on the single host CPU core each step)
+    state, step_fn, images, labels = build("bn", mesh)
+    state, _ = chained(step_fn, state, images, labels, 5)
+    it = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH)
+    for n, tag in ((N_LO, "lo"), (N_HI, "hi")):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            im, lb = shard_batch(next(it), mesh)
+            state, loss = step_fn(state, im, lb)
+        float(loss)
+        if tag == "lo":
+            t_lo = time.perf_counter() - t0
+        else:
+            t_hi = time.perf_counter() - t0
+    fed = (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+    print(f"host-fed bn: {fed:.1f} ms/step ({BATCH/fed*1e3:.1f} img/s)",
+          flush=True)
+
+    for norm, ms in results.items():
+        print(f"{norm}: {ms:.1f} ms/step = {BATCH/ms*1e3:.1f} img/s "
+              f"(448px, width 64, batch {BATCH}/device)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,3 +191,42 @@ def test_schedule_static_fields_key_jit_cache():
     a = step(s_clip, x, eps, jnp.int32(980))
     b = step(s_raw, x, eps, jnp.int32(980))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_sample_keeps_schedule_algebra_f32_and_finite():
+    """Regression: a bf16 sample (e.g. a latent straight from the bf16 VAE
+    encoder, the CLI real-image path) used to drag alpha_bar/variance to
+    bf16 via `_bcast`, where at the t~0 boundary the rounded direction
+    radicand 1 - a_prev - eta*var went negative -> sqrt -> NaN. Schedule
+    algebra is f32 by contract; outputs are f32 even for bf16 inputs."""
+    s = schedule_for_model("sd", num_inference_steps=50)
+    key = jax.random.PRNGKey(0)
+    for t in [int(s.timesteps[-1]), int(s.timesteps[-2]), int(s.timesteps[0])]:
+        x = jax.random.normal(key, (1, 8, 8, 4), jnp.bfloat16) * 3
+        eps = jax.random.normal(jax.random.fold_in(key, t), x.shape, jnp.bfloat16)
+        noise = jax.random.normal(jax.random.fold_in(key, t + 1), x.shape)
+        for fn in (
+            lambda: reverse_step(s, x, eps, jnp.int32(t), eta=1.0, noise=noise)[0],
+            lambda: ddim_step(s, x, eps, jnp.int32(t), eta=1.0, noise=noise)[0],
+            lambda: posterior_mean_from_eps(s, x, eps, jnp.int32(t), 1.0)[0],
+        ):
+            out = fn()
+            assert out.dtype == jnp.float32
+            assert bool(jnp.isfinite(out).all())
+
+
+def test_bf16_x0_ddpm_inversion_finite():
+    """End-to-end regression at the engine level: bf16 x0 through the
+    edit-friendly inversion produces finite zs/xts (sample_xts + every
+    reverse-step term computed f32)."""
+    from diffusion_image_editing_tpu.engine import ddpm_invert_batched
+    from diffusion_image_editing_tpu.engine.denoise import EpsClosure
+
+    s = schedule_for_model("sd", num_inference_steps=50)
+    eps_fn = EpsClosure(lambda p, x, t: (0.3 * x).astype(jnp.float32), None)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4), jnp.bfloat16)
+    res = ddpm_invert_batched(s, eps_fn, x0, eta=1.0, key=jax.random.PRNGKey(2))
+    assert bool(jnp.isfinite(res.zs).all())
+    assert bool(jnp.isfinite(res.xts).all())
+    assert res.xts.dtype == jnp.float32
