@@ -73,6 +73,11 @@ class AttrFunc(struct.PyTreeNode):
     # forward per step for not storing decoder activations — required for
     # batched 512px edits (batch >= 2 OOMs a 16GB chip without it)
     remat_decode: bool = struct.field(pytree_node=False, default=False)
+    # guidance-VJP chunk for `apply_batched`: 1 = fully serialized per-sample
+    # VJPs (the round-2 memory fix); k > 1 vmaps k samples per VJP
+    # (`lax.map(..., batch_size=k)`) — per-sample loss normalization is
+    # preserved under vmap, only the VJP working set and MXU batch grow
+    vjp_chunk: int = struct.field(pytree_node=False, default=1)
 
     @property
     def name(self) -> str:
@@ -208,7 +213,8 @@ class AttrFunc(struct.PyTreeNode):
                 out["z"] = zn[0]
             return out
 
-        res = jax.lax.map(one, mapped)
+        chunk = max(1, min(int(self.vjp_chunk), b))
+        res = jax.lax.map(one, mapped, batch_size=chunk if chunk > 1 else None)
         return res["x"], (res["z"] if has_z else zt)
 
 

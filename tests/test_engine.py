@@ -321,3 +321,28 @@ def test_ddpm_invert_batched_matches_scan():
         np.testing.assert_allclose(
             np.asarray(got.xt), np.asarray(ref.xt), rtol=3e-4, atol=3e-4
         )
+
+
+def test_apply_batched_chunked_vjp_matches_serialized():
+    """vjp_chunk > 1 vmaps k samples per guidance VJP (lax.map batch_size).
+    Per-sample loss normalization must be preserved under vmap: chunked
+    results equal the fully serialized chunk=1 results, including ragged
+    batches (b % chunk != 0)."""
+    sched, _ = _setup()
+    key = jax.random.PRNGKey(23)
+    xt = jax.random.normal(key, (5, 16, 16, 3))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), (5, 16, 16, 3))
+    zt = jax.random.normal(jax.random.fold_in(key, 2), (5, 16, 16, 3))
+    from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+
+    dec = DecodeClosure()
+    t, idx = jnp.int32(sched.timesteps[3]), jnp.int32(3)
+    base = SingleColorAttrFunc(
+        target=1.0, color_idx=0, loss_scale=50.0, t1=0, t2=STEPS, nudge_zt=True,
+    )
+    x1, z1 = base.apply_batched(xt, zt, eps, t, idx, sched, dec)
+    for chunk in (2, 4, 8):
+        attr = base.replace(vjp_chunk=chunk)
+        xc, zc = attr.apply_batched(xt, zt, eps, t, idx, sched, dec)
+        np.testing.assert_allclose(np.asarray(xc), np.asarray(x1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(zc), np.asarray(z1), rtol=1e-5, atol=1e-5)
