@@ -17,12 +17,20 @@ IGNORE_LABEL = 255
 
 
 def _per_pixel_ce(logits: Array, labels: Array) -> tuple[Array, Array]:
-    """(B,H,W,C) logits + (B,H,W) int labels -> per-pixel CE, valid mask."""
+    """(B,H,W,C) logits + (B,H,W) int labels -> per-pixel CE, valid mask.
+
+    One-hot formulation, deliberately gather-free: CE = logsumexp(logits) -
+    sum(logits * onehot(label)). `take_along_axis` over the class (minor/
+    lane) dim is pathological on TPU — measured 50.8 ms vs 1.2 ms for this
+    form on the (16,448,448,19) trainer shape (42x; chip slope timing,
+    PARITY.md round 3). Bitwise-identical result (rel err 0.0)."""
     valid = labels != IGNORE_LABEL
     safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return jnp.where(valid, ce, 0.0), valid
+    m = jnp.max(logits, axis=-1)
+    lse = jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)) + m
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=logits.dtype)
+    picked = jnp.sum(logits * onehot, axis=-1)
+    return jnp.where(valid, lse - picked, 0.0), valid
 
 
 def ohem_ce_loss(
@@ -55,11 +63,12 @@ def ohem_ce_loss(
 
 
 def softmax_focal_loss(logits: Array, labels: Array, gamma: float = 2.0) -> Array:
-    """(1 - p)^gamma-weighted NLL (`loss.py:31-43`), mean over valid pixels."""
+    """(1 - p)^gamma-weighted NLL (`loss.py:31-43`), mean over valid pixels.
+
+    p_t = softmax(logits)[label] = exp(-ce), so no second gather is needed
+    (see `_per_pixel_ce` for why gathers over the class dim are avoided)."""
     ce, valid = _per_pixel_ce(logits, labels)
-    probs = jax.nn.softmax(logits, axis=-1)
-    safe = jnp.where(valid, labels, 0)
-    p_t = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    p_t = jnp.exp(-ce)  # invalid pixels: ce == 0 -> p_t = 1 -> focal 0
     focal = (1.0 - p_t) ** gamma * ce
     focal = jnp.where(valid, focal, 0.0)
     return jnp.sum(focal) / jnp.maximum(jnp.sum(valid), 1)
