@@ -27,19 +27,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from bench import STEPS, _build_models, build_edit_step  # noqa: E402
 
-EDIT_POINTS = [(1, 1), (2, 1), (2, 2), (4, 1), (4, 2), (4, 4)]
+# (batch, vjp_chunk, decode_remat): chunk-4 full-VJP OOMs a 16GB chip
+# outright (measured RESOURCE_EXHAUSTED) — its slot runs with per-block
+# decoder remat instead. OOM-prone points run LAST: a failed warm can
+# leave the arena unusable for later allocations.
+EDIT_POINTS = [(1, 1, "none"), (2, 1, "none"), (2, 2, "none"),
+               (4, 1, "none"), (4, 2, "none"), (4, 4, "blocks")]
 UNET_BATCHES = [1, 2, 4, 8]
 
 
 def main():
     assert jax.default_backend() != "cpu", "A/B needs the chip"
     models = _build_models(tiny=False)
-    denoise_step, guidance_nudge, eps_fn, decode_fn, attr0, xt1, sched = (
-        build_edit_step(False, models=models)
-    )
+    built = {}
+    for dr in ("none", "blocks"):
+        built[dr] = build_edit_step(False, models=models, decode_remat=dr)
+    denoise_step, guidance_nudge, eps_fn, decode_fn, attr0, xt1, sched = built["none"]
     timesteps = np.asarray(sched.timesteps)
 
-    def make_edit(batch, chunk):
+    def make_edit(batch, chunk, dr):
+        denoise_step, guidance_nudge, eps_fn, decode_fn, attr0, xt1, _ = built[dr]
         attr = attr0.replace(vjp_chunk=chunk)
         xt = jnp.repeat(xt1, batch, axis=0)
 
@@ -62,23 +69,23 @@ def main():
         return run_pass, xt
 
     progs = {}
-    for b, c in EDIT_POINTS:
-        name = f"edit_b{b}_c{c}"
-        run, xt = make_edit(b, c)
-        try:
-            run(xt)  # compile + warm
-            progs[name] = (run, xt, b)
-            print("warmed", name, flush=True)
-        except Exception as e:  # OOM etc: record, continue
-            print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
     for b in UNET_BATCHES:
         name = f"unet_b{b}"
-        run, xt = make_unet(b)
         try:
+            run, xt = make_unet(b)
             run(xt)
             progs[name] = (run, xt, b)
             print("warmed", name, flush=True)
         except Exception as e:
+            print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+    for b, c, dr in EDIT_POINTS:
+        name = f"edit_b{b}_c{c}" + ("_remat" if dr != "none" else "")
+        try:
+            run, xt = make_edit(b, c, dr)
+            run(xt)  # compile + warm
+            progs[name] = (run, xt, b)
+            print("warmed", name, flush=True)
+        except Exception as e:  # OOM etc: record, continue
             print(f"{name}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
 
     # second warm round (relay first-program artifact)
