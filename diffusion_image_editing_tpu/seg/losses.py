@@ -51,14 +51,23 @@ def ohem_ce_loss(
     # ignored pixels carry 0 loss and, exactly like the torch reference, stay
     # in the vector: they sort to the tail and can appear in the top-n_min
     # mean (as zeros) but never exceed the threshold.
-    sorted_desc = -jnp.sort(-flat)
     n_min = min(n_min, flat.shape[0] - 1)
-    pivot = sorted_desc[n_min]
+    # The sort is VALUE-ONLY selection: stop_gradient keeps the O(n log n)
+    # sort out of the backward graph, whose 3.2M-element permutation scatter
+    # cost ~70 ms of the 116 ms 448px train step (x3 heads; chip probe,
+    # PARITY.md round 3). The top-n_min sum is reconstructed from the pivot:
+    # top n_min = {all x > pivot} + (n_min - #gt) copies of pivot — exact,
+    # including ties. Gradient = 1/n_min on elements > pivot (tied elements
+    # at the pivot get none; torch picks an arbitrary tie subset, a
+    # measure-zero difference on continuous losses).
+    pivot = jax.lax.stop_gradient(-jnp.sort(-flat)[: n_min + 1])[n_min]
+    gt = flat > pivot
+    n_gt = jnp.sum(gt)
+    topk_mean = (jnp.sum(flat * gt) + pivot * (n_min - n_gt)) / n_min
 
     mask_thresh = flat > t
     count = jnp.maximum(jnp.sum(mask_thresh), 1)
     thresh_mean = jnp.sum(flat * mask_thresh) / count
-    topk_mean = jnp.mean(sorted_desc[:n_min])  # static slice: exact top-n_min
     return jnp.where(pivot > t, thresh_mean, topk_mean)
 
 

@@ -27,16 +27,19 @@ N_LO, N_HI = 3, 13
 
 
 def slope(fn, *args):
-    fn(*args, n=2).block_until_ready()
+    # float() = device-to-host readback: the relay acks block_until_ready
+    # early (CLAUDE.md rule 2) — only a D2H sync is a real barrier
+    float(fn(*args, n=2))
     ts = {}
     for n in (N_LO, N_HI):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args, n=n))
+            float(fn(*args, n=n))
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
-    return (ts[N_HI] - ts[N_LO]) / (N_HI - N_LO) * 1e3
+    s = (ts[N_HI] - ts[N_LO]) / (N_HI - N_LO) * 1e3
+    return s, ts[N_LO], ts[N_HI]
 
 
 def main():
@@ -64,26 +67,28 @@ def main():
 
     @partial(jax.jit, static_argnames=("n",))
     def chain_fwdbwd_nolabel(p, xx, n):
-        def loss_fn(pp):
-            outs = fwd(pp, xx)
+        def loss_fn(pp, xin):
+            outs = fwd(pp, xin)
             return sum(jnp.sum(o) * 1e-9 for o in outs)
 
         def body(i, acc):
-            g = jax.grad(loss_fn)(p)
+            # acc feeds the INPUT so the grad is not loop-invariant (XLA
+            # hoists invariant bodies and the slope reads zero)
+            g = jax.grad(loss_fn)(p, xx + acc * 1e-9)
             return acc + jax.tree_util.tree_reduce(
-                lambda a, l: a + jnp.sum(l) * 1e-12, g, jnp.float32(0.0)) + acc * 1e-9
+                lambda a, l: a + jnp.sum(l) * 1e-12, g, jnp.float32(0.0))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     @partial(jax.jit, static_argnames=("n",))
     def chain_full(p, xx, n):
-        def loss_fn(pp):
-            outs = fwd(pp, xx)
+        def loss_fn(pp, xin):
+            outs = fwd(pp, xin)
             return sum(ohem_ce_loss(o, labels, n_min=n_min) for o in outs)
 
         def body(i, acc):
-            g = jax.grad(loss_fn)(p)
+            g = jax.grad(loss_fn)(p, xx + acc * 1e-9)
             return acc + jax.tree_util.tree_reduce(
-                lambda a, l: a + jnp.sum(l) * 1e-12, g, jnp.float32(0.0)) + acc * 1e-9
+                lambda a, l: a + jnp.sum(l) * 1e-12, g, jnp.float32(0.0))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     logits_small = jax.random.normal(key, (B, 56, 56, C), jnp.float32)
@@ -102,11 +107,15 @@ def main():
             return acc + ohem_ce_loss(up, labels, n_min=n_min)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    print(f"model fwd (train-mode BN):        {slope(chain_fwd, params, x):7.1f} ms")
-    print(f"model fwd+bwd (sum loss):         {slope(chain_fwdbwd_nolabel, params, x):7.1f} ms")
-    print(f"model fwd+bwd + 3x OHEM (full):   {slope(chain_full, params, x):7.1f} ms")
-    print(f"head upsample 56->448 einsum x1:  {slope(chain_upsample, logits_small):7.1f} ms")
-    print(f"upsample + OHEM x1:               {slope(chain_loss, logits_small):7.1f} ms")
+    for name, fn, args in (
+        ("model fwd (train-mode BN)", chain_fwd, (params, x)),
+        ("model fwd+bwd (sum loss)", chain_fwdbwd_nolabel, (params, x)),
+        ("model fwd+bwd + 3x OHEM (full)", chain_full, (params, x)),
+        ("head upsample 56->448 einsum x1", chain_upsample, (logits_small,)),
+        ("upsample + OHEM x1", chain_loss, (logits_small,)),
+    ):
+        s, lo, hi = slope(fn, *args)
+        print(f"{name}: {s:7.1f} ms/iter (t3={lo:.3f}s t13={hi:.3f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -210,3 +210,37 @@ def test_multi_scale_transform():
     im = Image.new("RGB", (100, 60))
     outs = multi_scale(im, (0.5, 1.0, 1.5))
     assert [o.size for o in outs] == [(50, 30), (100, 60), (150, 90)]
+
+
+def test_ohem_gradient_matches_sorted_form():
+    """The value-only-sort OHEM (pivot under stop_gradient + masked top-k
+    reconstruction) must produce the same gradient as differentiating the
+    straightforward sorted form, on tie-free data (both branches)."""
+    import jax
+
+    def ohem_sorted(logits, labels, thresh, n_min):
+        t = -jnp.log(jnp.asarray(thresh, jnp.float32))
+        from diffusion_image_editing_tpu.seg.losses import _per_pixel_ce
+
+        ce, _ = _per_pixel_ce(logits, labels)
+        flat = ce.reshape(-1)
+        sorted_desc = -jnp.sort(-flat)
+        pivot = sorted_desc[n_min]
+        mask_thresh = flat > t
+        count = jnp.maximum(jnp.sum(mask_thresh), 1)
+        thresh_mean = jnp.sum(flat * mask_thresh) / count
+        topk_mean = jnp.mean(sorted_desc[:n_min])
+        return jnp.where(pivot > t, thresh_mean, topk_mean)
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, 19)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 19, (2, 8, 8)).astype(np.int32))
+    for thresh, n_min in ((0.7, 16), (0.999, 16)):  # topk / threshold branch
+        v_new = float(ohem_ce_loss(logits, labels, thresh, n_min))
+        v_old = float(ohem_sorted(logits, labels, thresh, n_min))
+        np.testing.assert_allclose(v_new, v_old, rtol=1e-6)
+        g_new = jax.grad(lambda lg: ohem_ce_loss(lg, labels, thresh, n_min))(logits)
+        g_old = jax.grad(lambda lg: ohem_sorted(lg, labels, thresh, n_min))(logits)
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_old), rtol=1e-5, atol=1e-7
+        )
