@@ -16,6 +16,27 @@ Array = jax.Array
 IGNORE_LABEL = 255
 
 
+def _kth_largest_nonneg(flat: Array, k: int) -> Array:
+    """Exact k-th largest (1-indexed, duplicates counted) of a NON-NEGATIVE
+    f32 vector, by binary search on the float bit pattern (non-negative IEEE
+    floats order like their int32 bits). 31 masked-count reductions instead
+    of an O(n log n) sort — ~0.5 ms vs ~6 ms for the trainer's 3.2M-element
+    OHEM pivot (the only thing the sort was computing). Value-identical to
+    `(-jnp.sort(-flat))[k-1]`."""
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int32)
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = lo + (hi - lo + 1) // 2  # upper mid so lo=mid makes progress
+        c = jnp.sum(bits >= mid)
+        return jnp.where(c >= k, mid, lo), jnp.where(c >= k, hi, mid - 1)
+
+    # CE values are finite and >= 0: bit patterns lie in [0, 0x7f800000]
+    lo, hi = jnp.int32(0), jnp.int32(0x7F800000)
+    lo, _ = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(lo, jnp.float32)
+
+
 def _per_pixel_ce(logits: Array, labels: Array) -> tuple[Array, Array]:
     """(B,H,W,C) logits + (B,H,W) int labels -> per-pixel CE, valid mask.
 
@@ -52,15 +73,16 @@ def ohem_ce_loss(
     # in the vector: they sort to the tail and can appear in the top-n_min
     # mean (as zeros) but never exceed the threshold.
     n_min = min(n_min, flat.shape[0] - 1)
-    # The sort is VALUE-ONLY selection: stop_gradient keeps the O(n log n)
-    # sort out of the backward graph, whose 3.2M-element permutation scatter
-    # cost ~70 ms of the 116 ms 448px train step (x3 heads; chip probe,
-    # PARITY.md round 3). The top-n_min sum is reconstructed from the pivot:
-    # top n_min = {all x > pivot} + (n_min - #gt) copies of pivot — exact,
-    # including ties. Gradient = 1/n_min on elements > pivot (tied elements
-    # at the pivot get none; torch picks an arbitrary tie subset, a
+    # The pivot is VALUE-ONLY selection, computed sort-free (bitwise binary
+    # search, `_kth_largest_nonneg`) and under stop_gradient: the sort's
+    # backward (a 3.2M-element permutation scatter, x3 heads) cost ~70 ms of
+    # the 116 ms 448px train step, and its forward another ~6 ms/head (chip
+    # probes, PARITY.md round 3). The top-n_min sum is reconstructed from
+    # the pivot: top n_min = {all x > pivot} + (n_min - #gt) copies of pivot
+    # — exact, including ties. Gradient = 1/n_min on elements > pivot (tied
+    # elements at the pivot get none; torch picks an arbitrary tie subset, a
     # measure-zero difference on continuous losses).
-    pivot = jax.lax.stop_gradient(-jnp.sort(-flat)[: n_min + 1])[n_min]
+    pivot = jax.lax.stop_gradient(_kth_largest_nonneg(flat, n_min + 1))
     gt = flat > pivot
     n_gt = jnp.sum(gt)
     topk_mean = (jnp.sum(flat * gt) + pivot * (n_min - n_gt)) / n_min

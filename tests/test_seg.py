@@ -244,3 +244,18 @@ def test_ohem_gradient_matches_sorted_form():
         np.testing.assert_allclose(
             np.asarray(g_new), np.asarray(g_old), rtol=1e-5, atol=1e-7
         )
+
+
+def test_kth_largest_bitsearch_matches_sort():
+    """The sort-free OHEM pivot (bitwise binary search over non-negative f32)
+    must equal the sorted value exactly, including ties and zeros."""
+    from diffusion_image_editing_tpu.seg.losses import _kth_largest_nonneg
+
+    rng = np.random.default_rng(7)
+    for n, k in ((1000, 1), (1000, 100), (1000, 999), (4097, 256)):
+        x = np.abs(rng.normal(size=n)).astype(np.float32)
+        x[rng.integers(0, n, n // 4)] = 0.0          # zero runs (ignored px)
+        x[rng.integers(0, n, n // 8)] = x[0]          # ties
+        want = np.sort(x)[::-1][k - 1]
+        got = float(_kth_largest_nonneg(jnp.asarray(x), k))
+        assert got == want, (n, k, got, want)
