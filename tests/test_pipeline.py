@@ -404,3 +404,29 @@ def test_prepare_real_image_edit_ddpm_batched_mode():
     )
     for x, y in zip(a[:3], b[:3]):  # xt, zs, xts
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=3e-4, atol=3e-4)
+
+
+def test_prepare_real_image_edit_auto_mode_matches_measured_defaults():
+    """mode=None picks the measured-fastest form per inversion method
+    (PARITY.md round 3): batched for DDPM, split for DDIM — results must
+    equal the explicit modes bit-for-bit (same code path)."""
+    w = make_ddpm()
+    pipe = EditPipeline(w, fake_segmentation)
+    img = jax.random.normal(jax.random.PRNGKey(52), (1, 16, 16, 3)) * 0.1
+    k = jax.random.PRNGKey(53)
+    auto = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", classes=[17], key=k
+    )
+    explicit = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", classes=[17], key=k, mode="batched"
+    )
+    for x, y in zip(auto[:3], explicit[:3]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    wc = make_ddpm(clip_sample=False)
+    pipe2 = EditPipeline(wc, fake_segmentation)
+    auto_ddim = pipe2.prepare_real_image_edit(img, eta=0.0, inversion_method="ddim")
+    explicit_ddim = pipe2.prepare_real_image_edit(
+        img, eta=0.0, inversion_method="ddim", mode="split"
+    )
+    np.testing.assert_array_equal(np.asarray(auto_ddim[0]), np.asarray(explicit_ddim[0]))
