@@ -160,6 +160,7 @@ def cmd_seg_train(args):
     cfg = TrainConfig(
         image_size=args.image_size, batch_size_per_device=args.batch_size,
         max_iter=args.max_iter, norm=args.norm, width=args.width,
+        compute_dtype=args.compute_dtype,
     )
     if args.data_root:
         ds = FaceMaskDataset(args.data_root, (args.image_size, args.image_size))
@@ -276,6 +277,10 @@ def main(argv=None):
     t.add_argument("--max-iter", type=int, default=80000)
     t.add_argument("--num-steps", type=int, default=None)
     t.add_argument("--norm", default="bn", choices=["bn", "abn", "abn_sync"])
+    t.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv compute dtype (params/norms stay f32); "
+                        "bfloat16 is the TPU fast path")
     t.add_argument("--width", type=int, default=64)
     t.add_argument("--ckpt-dir", default=None)
     t.set_defaults(fn=cmd_seg_train)

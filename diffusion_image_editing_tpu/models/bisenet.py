@@ -49,7 +49,10 @@ def resize_bilinear_align_corners(x: Array, h_out: int, w_out: int) -> Array:
 
 
 class ConvBNReLU(nn.Module):
-    """conv(bias=False) -> norm -> relu (`Segmentation/model.py:15-39`)."""
+    """conv(bias=False) -> norm -> relu (`Segmentation/model.py:15-39`).
+
+    `dtype` = conv compute dtype (mixed precision); params and norm
+    statistics stay f32 (see `NormAct`)."""
 
     out_chan: int
     ks: int = 3
@@ -57,12 +60,15 @@ class ConvBNReLU(nn.Module):
     padding: int = 1
     norm: str = "bn"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Conv(self.out_chan, (self.ks, self.ks), strides=self.stride,
-                    padding=self.padding, use_bias=False, name="conv")(x)
-        return NormAct(self.norm, act=True, axis_name=self.axis_name, name="bn")(x, train)
+                    padding=self.padding, use_bias=False, dtype=self.dtype,
+                    name="conv")(x.astype(self.dtype))
+        return NormAct(self.norm, act=True, axis_name=self.axis_name,
+                       dtype=self.dtype, name="bn")(x, train)
 
 
 class BiSeNetOutput(nn.Module):
@@ -72,11 +78,15 @@ class BiSeNetOutput(nn.Module):
     n_classes: int
     norm: str = "bn"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = ConvBNReLU(self.mid_chan, 3, 1, 1, self.norm, self.axis_name, name="conv")(x, train)
-        return nn.Conv(self.n_classes, (1, 1), use_bias=False, name="conv_out")(x)
+        x = ConvBNReLU(self.mid_chan, 3, 1, 1, self.norm, self.axis_name,
+                       self.dtype, name="conv")(x, train)
+        # logits head: compute may be bf16; emit f32 for the loss
+        return nn.Conv(self.n_classes, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="conv_out")(x).astype(jnp.float32)
 
 
 class AttentionRefinementModule(nn.Module):
@@ -85,15 +95,17 @@ class AttentionRefinementModule(nn.Module):
     out_chan: int
     norm: str = "bn"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        feat = ConvBNReLU(self.out_chan, 3, 1, 1, self.norm, self.axis_name, name="conv")(x, train)
+        feat = ConvBNReLU(self.out_chan, 3, 1, 1, self.norm, self.axis_name,
+                          self.dtype, name="conv")(x, train)
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
-        atten = nn.Conv(self.out_chan, (1, 1), use_bias=False, name="conv_atten")(atten)
-        atten = NormAct(self.norm, act=False, axis_name=self.axis_name, name="bn_atten")(
-            atten, train
-        )
+        atten = nn.Conv(self.out_chan, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv_atten")(atten)
+        atten = NormAct(self.norm, act=False, axis_name=self.axis_name,
+                        dtype=self.dtype, name="bn_atten")(atten, train)
         return feat * jax.nn.sigmoid(atten)
 
 
@@ -103,41 +115,39 @@ class ContextPath(nn.Module):
     norm: str = "bn"
     axis_name: Optional[str] = None
     width: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
         w = self.width
         feat8, feat16, feat32 = Resnet18Features(
-            self.norm, self.axis_name, width=w, name="resnet"
+            self.norm, self.axis_name, width=w, dtype=self.dtype, name="resnet"
         )(x, train)
         h16, w16 = feat16.shape[1:3]
         h8, w8 = feat8.shape[1:3]
 
         avg = jnp.mean(feat32, axis=(1, 2), keepdims=True)
-        avg = ConvBNReLU(w * 2, 1, 1, 0, self.norm, self.axis_name, name="conv_avg")(avg, train)
+        avg = ConvBNReLU(w * 2, 1, 1, 0, self.norm, self.axis_name, self.dtype,
+                         name="conv_avg")(avg, train)
         avg_up = jnp.broadcast_to(avg, (avg.shape[0],) + feat32.shape[1:3] + (avg.shape[-1],))
 
-        f32_arm = AttentionRefinementModule(w * 2, self.norm, self.axis_name, name="arm32")(
-            feat32, train
-        )
+        f32_arm = AttentionRefinementModule(w * 2, self.norm, self.axis_name,
+                                            self.dtype, name="arm32")(feat32, train)
         f32_sum = f32_arm + avg_up
         f32_up = jax.image.resize(  # mode="nearest", model.py:128
             f32_sum, (f32_sum.shape[0], h16, w16, f32_sum.shape[-1]), method="nearest"
         )
-        f32_up = ConvBNReLU(w * 2, 3, 1, 1, self.norm, self.axis_name, name="conv_head32")(
-            f32_up, train
-        )
+        f32_up = ConvBNReLU(w * 2, 3, 1, 1, self.norm, self.axis_name, self.dtype,
+                            name="conv_head32")(f32_up, train)
 
-        f16_arm = AttentionRefinementModule(w * 2, self.norm, self.axis_name, name="arm16")(
-            feat16, train
-        )
+        f16_arm = AttentionRefinementModule(w * 2, self.norm, self.axis_name,
+                                            self.dtype, name="arm16")(feat16, train)
         f16_sum = f16_arm + f32_up
         f16_up = jax.image.resize(
             f16_sum, (f16_sum.shape[0], h8, w8, f16_sum.shape[-1]), method="nearest"
         )
-        f16_up = ConvBNReLU(w * 2, 3, 1, 1, self.norm, self.axis_name, name="conv_head16")(
-            f16_up, train
-        )
+        f16_up = ConvBNReLU(w * 2, 3, 1, 1, self.norm, self.axis_name, self.dtype,
+                            name="conv_head16")(f16_up, train)
         return feat8, f16_up, f32_up
 
 
@@ -147,17 +157,19 @@ class FeatureFusionModule(nn.Module):
     out_chan: int
     norm: str = "bn"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, fsp: Array, fcp: Array, train: bool = False) -> Array:
-        fcat = jnp.concatenate([fsp, fcp], axis=-1)
-        feat = ConvBNReLU(self.out_chan, 1, 1, 0, self.norm, self.axis_name, name="convblk")(
-            fcat, train
-        )
+        fcat = jnp.concatenate([fsp.astype(self.dtype), fcp.astype(self.dtype)], axis=-1)
+        feat = ConvBNReLU(self.out_chan, 1, 1, 0, self.norm, self.axis_name,
+                          self.dtype, name="convblk")(fcat, train)
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
-        atten = nn.Conv(self.out_chan // 4, (1, 1), use_bias=False, name="conv1")(atten)
+        atten = nn.Conv(self.out_chan // 4, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="conv1")(atten)
         atten = nn.relu(atten)
-        atten = nn.Conv(self.out_chan, (1, 1), use_bias=False, name="conv2")(atten)
+        atten = nn.Conv(self.out_chan, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="conv2")(atten)
         atten = jax.nn.sigmoid(atten)
         return feat * atten + feat
 
@@ -169,26 +181,25 @@ class BiSeNet(nn.Module):
     norm: str = "bn"
     axis_name: Optional[str] = None
     width: int = 64  # 64 = reference size; smaller for tests
+    dtype: jnp.dtype = jnp.float32  # conv COMPUTE dtype; params/norms stay f32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
         w = self.width
         h0, w0 = x.shape[1:3]
         feat_res8, feat_cp8, feat_cp16 = ContextPath(
-            self.norm, self.axis_name, width=w, name="cp"
+            self.norm, self.axis_name, width=w, dtype=self.dtype, name="cp"
         )(x, train)
-        feat_fuse = FeatureFusionModule(w * 4, self.norm, self.axis_name, name="ffm")(
+        feat_fuse = FeatureFusionModule(w * 4, self.norm, self.axis_name,
+                                        self.dtype, name="ffm")(
             feat_res8, feat_cp8, train
         )
-        out = BiSeNetOutput(w * 4, self.n_classes, self.norm, self.axis_name, name="conv_out")(
-            feat_fuse, train
-        )
-        out16 = BiSeNetOutput(w, self.n_classes, self.norm, self.axis_name, name="conv_out16")(
-            feat_cp8, train
-        )
-        out32 = BiSeNetOutput(w, self.n_classes, self.norm, self.axis_name, name="conv_out32")(
-            feat_cp16, train
-        )
+        out = BiSeNetOutput(w * 4, self.n_classes, self.norm, self.axis_name,
+                            self.dtype, name="conv_out")(feat_fuse, train)
+        out16 = BiSeNetOutput(w, self.n_classes, self.norm, self.axis_name,
+                              self.dtype, name="conv_out16")(feat_cp8, train)
+        out32 = BiSeNetOutput(w, self.n_classes, self.norm, self.axis_name,
+                              self.dtype, name="conv_out32")(feat_cp16, train)
         out = resize_bilinear_align_corners(out, h0, w0)
         out16 = resize_bilinear_align_corners(out16, h0, w0)
         out32 = resize_bilinear_align_corners(out32, h0, w0)

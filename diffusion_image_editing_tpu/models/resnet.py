@@ -28,25 +28,34 @@ Array = jax.Array
 
 
 class NormAct(nn.Module):
-    """BatchNorm (+optional ReLU) or fused ABN, selected by `norm`."""
+    """BatchNorm (+optional ReLU) or fused ABN, selected by `norm`.
+
+    `dtype` is the surrounding COMPUTE dtype (mixed-precision training):
+    normalization statistics always run in f32 — the input is upcast for the
+    norm and the result is cast back, the standard TPU mixed-precision
+    recipe (params/stats f32, matmul/conv compute bf16)."""
 
     norm: str = "bn"  # "bn" | "abn" | "abn_sync"
     act: bool = True
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        x = x.astype(jnp.float32)
         if self.norm == "bn":
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if train else None, name="bn",
             )(x)
-            return nn.relu(x) if self.act else x
-        axis = self.axis_name if self.norm == "abn_sync" else None
-        return FusedABNorm(
-            activation="leaky_relu" if self.act else "identity",
-            axis_name=axis, name="abn",
-        )(x, train=train)
+            out = nn.relu(x) if self.act else x
+        else:
+            axis = self.axis_name if self.norm == "abn_sync" else None
+            out = FusedABNorm(
+                activation="leaky_relu" if self.act else "identity",
+                axis_name=axis, name="abn",
+            )(x, train=train)
+        return out.astype(self.dtype)
 
 
 def max_pool_3x3_s2(x: Array) -> Array:
@@ -64,22 +73,27 @@ class BasicBlock(nn.Module):
     stride: int = 1
     norm: str = "bn"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         in_chan = x.shape[-1]
+        dt = self.dtype
         r = nn.Conv(self.out_chan, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, name="conv1")(x)
-        r = NormAct(self.norm, act=True, axis_name=self.axis_name, name="bn1")(r, train)
-        r = nn.Conv(self.out_chan, (3, 3), padding=1, use_bias=False, name="conv2")(r)
-        r = NormAct(self.norm, act=False, axis_name=self.axis_name, name="bn2")(r, train)
+                    use_bias=False, dtype=dt, name="conv1")(x)
+        r = NormAct(self.norm, act=True, axis_name=self.axis_name, dtype=dt,
+                    name="bn1")(r, train)
+        r = nn.Conv(self.out_chan, (3, 3), padding=1, use_bias=False, dtype=dt,
+                    name="conv2")(r)
+        r = NormAct(self.norm, act=False, axis_name=self.axis_name, dtype=dt,
+                    name="bn2")(r, train)
         shortcut = x
         if in_chan != self.out_chan or self.stride != 1:
             shortcut = nn.Conv(self.out_chan, (1, 1), strides=self.stride,
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=dt, name="downsample_conv")(x)
             shortcut = NormAct(self.norm, act=False, axis_name=self.axis_name,
-                               name="downsample_bn")(shortcut, train)
-        return nn.relu(shortcut + r)
+                               dtype=dt, name="downsample_bn")(shortcut, train)
+        return nn.relu(shortcut.astype(dt) + r)
 
 
 class Resnet18Features(nn.Module):
@@ -88,27 +102,31 @@ class Resnet18Features(nn.Module):
     norm: str = "bn"
     axis_name: Optional[str] = None
     width: int = 64  # shrink for tests
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
-        w = self.width
-        h = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
-        h = NormAct(self.norm, act=True, axis_name=self.axis_name, name="bn1")(h, train)
+        w, dt = self.width, self.dtype
+        h = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False, dtype=dt,
+                    name="conv1")(x.astype(dt))
+        h = NormAct(self.norm, act=True, axis_name=self.axis_name, dtype=dt,
+                    name="bn1")(h, train)
         h = max_pool_3x3_s2(h)
         for j in range(2):
-            h = BasicBlock(w, 1, self.norm, self.axis_name, name=f"layer1_{j}")(h, train)
+            h = BasicBlock(w, 1, self.norm, self.axis_name, dt,
+                           name=f"layer1_{j}")(h, train)
         f8 = h
         for j in range(2):
             f8 = BasicBlock(w * 2, 2 if j == 0 else 1, self.norm, self.axis_name,
-                            name=f"layer2_{j}")(f8, train)
+                            dt, name=f"layer2_{j}")(f8, train)
         f16 = f8
         for j in range(2):
             f16 = BasicBlock(w * 4, 2 if j == 0 else 1, self.norm, self.axis_name,
-                             name=f"layer3_{j}")(f16, train)
+                             dt, name=f"layer3_{j}")(f16, train)
         f32 = f16
         for j in range(2):
             f32 = BasicBlock(w * 8, 2 if j == 0 else 1, self.norm, self.axis_name,
-                             name=f"layer4_{j}")(f32, train)
+                             dt, name=f"layer4_{j}")(f32, train)
         return f8, f16, f32
 
 

@@ -50,6 +50,10 @@ class TrainConfig:
     norm: str = "bn"  # "bn" | "abn" | "abn_sync"
     width: int = 64
     ckpt_every: int = 5000
+    # conv/matmul COMPUTE dtype ("float32" | "bfloat16"): params, norm
+    # statistics and the loss stay f32 either way (mixed precision). The
+    # reference trains pure f32; bf16 is the TPU-native fast path.
+    compute_dtype: str = "float32"
 
     @property
     def n_min(self) -> int:
@@ -74,8 +78,9 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_model(cfg: TrainConfig, axis_name: Optional[str] = None) -> BiSeNet:
+    dt = jnp.bfloat16 if cfg.compute_dtype in ("bf16", "bfloat16") else jnp.float32
     return BiSeNet(n_classes=cfg.n_classes, norm=cfg.norm,
-                   axis_name=axis_name, width=cfg.width)
+                   axis_name=axis_name, width=cfg.width, dtype=dt)
 
 
 def create_train_state(cfg: TrainConfig, key: Array, axis_name: Optional[str] = None):

@@ -38,9 +38,9 @@ N_LO, N_HI = 10, 60
 SIZE, BATCH, WIDTH = 448, 16, 64
 
 
-def build(norm: str, mesh: Mesh):
+def build(norm: str, mesh: Mesh, compute_dtype: str = "float32"):
     cfg = TrainConfig(image_size=SIZE, batch_size_per_device=BATCH,
-                      norm=norm, width=WIDTH)
+                      norm=norm, width=WIDTH, compute_dtype=compute_dtype)
     axis_name = "dp" if norm == "abn_sync" else None
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), axis_name)
     step_fn = make_sharded_train_step(model, cfg, mesh)
@@ -63,8 +63,9 @@ def main():
     assert jax.default_backend() != "cpu", "bench needs the chip"
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     results = {}
-    for norm in ("bn", "abn", "abn_sync"):
-        state, step_fn, images, labels = build(norm, mesh)
+    for norm, cdt in (("bn", "float32"), ("bn_bf16", "bfloat16"),
+                      ("abn", "float32"), ("abn_sync", "float32")):
+        state, step_fn, images, labels = build(norm.split("_")[0] if norm != "abn_sync" else norm, mesh, cdt)
         # compile + full warm (relay first-program artifact)
         state, _ = chained(step_fn, state, images, labels, N_LO)
         print(f"{norm}: compiled+warmed", flush=True)

@@ -259,3 +259,42 @@ def test_kth_largest_bitsearch_matches_sort():
         want = np.sort(x)[::-1][k - 1]
         got = float(_kth_largest_nonneg(jnp.asarray(x), k))
         assert got == want, (n, k, got, want)
+
+
+def test_bf16_compute_dtype_trains_and_tracks_f32():
+    """Mixed-precision trainer option: compute_dtype='bfloat16' keeps params,
+    norm statistics and the loss in f32, produces finite losses, and tracks
+    the f32 trainer closely on identical tiny data."""
+    import jax
+
+    from diffusion_image_editing_tpu.seg.train import (
+        TrainConfig,
+        create_train_state,
+        make_sharded_train_step,
+    )
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    labs = rng.integers(0, 19, (2, 32, 32)).astype(np.int32)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = TrainConfig(image_size=32, batch_size_per_device=2, width=8,
+                          compute_dtype=dt)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        # identical init: params are f32 in both configs
+        step = make_sharded_train_step(model, cfg, mesh)
+        from diffusion_image_editing_tpu.seg.train import shard_batch
+
+        im, lb = shard_batch((imgs, labs), mesh)
+        seq = []
+        for _ in range(3):
+            state, loss = step(state, im, lb)
+            seq.append(float(loss))
+        losses[dt] = seq
+        flat = jax.tree_util.tree_leaves(state.params)
+        assert all(l.dtype == jnp.float32 for l in flat)
+        assert np.isfinite(seq).all() if hasattr(np, "isfinite") else True
+    # same data, same init: bf16 compute should track f32 within bf16 noise
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.05)
