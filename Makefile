@@ -9,3 +9,15 @@ test-full-port:
 
 bench:
 	python bench.py
+
+# Chip measurement suites (one at a time — only one process can hold the TPU)
+bench-seg-train:
+	python scripts/bench_seg_train.py
+
+ab-batch:
+	python scripts/ab_batch_scaling.py
+
+# Multi-chip AOT validations (8 virtual CPU devices, no TPU needed)
+multichip-analyze:
+	PALLAS_AXON_POOL_IPS= python scripts/multichip_real_shapes.py
+	PALLAS_AXON_POOL_IPS= python scripts/multichip_seg_train.py
