@@ -335,6 +335,62 @@ def phase_e2e_seg(tiny, models, reps=2):
     return _timed_pass(run_pass, warm, start, reps)
 
 
+def phase_ldm_clf(reps=3):
+    """steps/s for the LDM celebahq-256 classifier-guided edit (BASELINE
+    config 3: latent-space inversion + anyGAN classifier guidance through
+    the VQ-VAE decoder — `src/attr_functions.py:222-257`). Chip-only (no
+    tiny variant: the factory builds the full 274M-param LDM UNet)."""
+    from diffusion_image_editing_tpu.core import ddim_step
+    from diffusion_image_editing_tpu.guidance import ClassifierAttrFunc
+    from diffusion_image_editing_tpu.models.resnet import ResNet50
+    from diffusion_image_editing_tpu.ops.resize import imagenet_normalize, to_unit_range
+    from diffusion_image_editing_tpu.pipeline.factory import create_diffusion_model
+
+    w = create_diffusion_model("ldm", sample_clipping=False,
+                               num_inference_steps=STEPS, dtype=jnp.bfloat16)
+    sched = w.schedule
+    eps_fn = w.eps_fn()
+    decode_fn = w.decode_fn()
+
+    clf = ResNet50(num_outputs=80)
+    img_size = 256
+    cparams = jax.jit(clf.init)(
+        jax.random.PRNGKey(11), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    )
+    clf_apply = clf.apply
+
+    def clf_logits(p, img):
+        x = imagenet_normalize(to_unit_range(img.astype(jnp.float32)))
+        return clf_apply(p, x)
+
+    attr = ClassifierAttrFunc(
+        loss_scale=50.0, t1=0, t2=STEPS, clf_params=cparams,
+        clf_apply_fn=clf_logits, idx_for_class=20, idx_of_interest=1,
+    )
+
+    def denoise_step(eps_fn_, xt, t):
+        eps = jax.lax.stop_gradient(eps_fn_(xt, t))
+        x_new, _ = ddim_step(sched, xt, eps, t, eta=0.0)
+        return x_new, eps
+
+    def guidance_nudge(dec_fn_, attr_, xt, eps, t, idx):
+        x_new, _ = attr_.apply_batched(xt, None, eps, t, idx, sched, dec_fn_)
+        return x_new
+
+    dstep, nudge = jax.jit(denoise_step), jax.jit(guidance_nudge)
+    timesteps = np.asarray(sched.timesteps)
+    xt = jax.random.normal(jax.random.PRNGKey(12), w.latent_shape(1), jnp.float32)
+
+    def run_pass(x):
+        for i, t in enumerate(timesteps):
+            x, eps = dstep(eps_fn, x, jnp.int32(t))
+            x = nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
+        return x
+
+    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+    return STEPS / elapsed
+
+
 _RESULT = {"steps_per_sec": None, "extras": {}, "tiny": False}
 
 
@@ -374,7 +430,7 @@ def main():
     backend = jax.default_backend()
     tiny = backend == "cpu"
     _RESULT["tiny"] = tiny
-    default_phases = "headline" if tiny else "headline,e2e,e2e_seg,batch,seg"
+    default_phases = "headline" if tiny else "headline,e2e,e2e_seg,batch,seg,ldm"
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
     extras = _RESULT["extras"]
@@ -393,6 +449,8 @@ def main():
         extras["seg_steps_s"] = round(
             phase_guided_edit(tiny, models, guidance="seg", reps=2), 3
         )
+    if "ldm" in phases and not tiny:
+        extras["ldm_clf_steps_s"] = round(phase_ldm_clf(), 3)
     # Disarm before the final emit: a late alarm/SIGTERM during teardown must
     # not print a second (partial-marked) line.
     signal.alarm(0)
