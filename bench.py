@@ -27,17 +27,32 @@ extras (secondary operating points, VERDICT r1 items 2/3/9):
 
 Phases are selectable: DIE_BENCH_PHASES=headline,e2e,batch,seg (default all
 on TPU; on the CPU fallback only headline runs, tiny shapes).
+
+Process structure (VERDICT r3 item 1: round 3 recorded rc=1/parsed=null
+because `jax.default_backend()` died unguarded against a wedged axon tunnel,
+and even `import jax` can hang >18 min at tunnel registration):
+  * run as a script, bench.py is a SUPERVISOR that never imports jax; it
+    re-launches itself as a child with DIE_BENCH_INNER=1, enforces timeouts,
+    retries in a fresh process (tunnel re-registration needs one), forwards
+    SIGTERM so the child can emit its partial result, and after all retries
+    runs a tiny-CPU fallback — it always prints one JSON line and exits 0.
+  * imported as a module (scripts/ use _build_models/build_edit_step), it
+    behaves exactly as before.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+_INNER = os.environ.get("DIE_BENCH_INNER") == "1"
+if _INNER or __name__ != "__main__":
+    import jax
+    import jax.numpy as jnp
 import numpy as np
 
 BASELINE_STEPS_PER_SEC_PER_CHIP = 3.125
@@ -416,8 +431,6 @@ def main():
     # A cold XLA compile cache can push the full run past an external watchdog
     # (measured: 4-phase cold run > 50 min, warm ~ 20); on SIGTERM/SIGALRM
     # emit whatever phases completed instead of dying silently.
-    import signal
-
     def _bail(signum, frame):
         _emit(partial=True)
         os._exit(0)
@@ -427,7 +440,12 @@ def main():
         signal.signal(signal.SIGALRM, _bail)
         signal.alarm(int(os.environ["DIE_BENCH_DEADLINE_S"]))
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except Exception as e:  # axon init UNAVAILABLE — let the supervisor retry
+        print(f"[bench-inner] backend init failed: {e!r}", file=sys.stderr,
+              flush=True)
+        return 3
     tiny = backend == "cpu"
     _RESULT["tiny"] = tiny
     default_phases = "headline" if tiny else "headline,e2e,e2e_seg,batch,seg,ldm"
@@ -456,7 +474,113 @@ def main():
     signal.alarm(0)
     signal.signal(signal.SIGTERM, signal.SIG_DFL)
     _emit()
+    return 0
+
+
+# --------------------------------------------------------------------------
+# Supervisor (parent) — no jax anywhere on this path.
+# --------------------------------------------------------------------------
+
+_SUP = {"child": None, "term": False}
+
+
+def _sup_log(msg: str) -> None:
+    print(f"[bench-supervisor] {msg}", file=sys.stderr, flush=True)
+
+
+def _parse_result(text: str):
+    """Last stdout line that parses as a bench JSON result, else None."""
+    for line in reversed((text or "").splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if "metric" in obj:
+            return obj
+    return None
+
+
+def _run_inner(extra_env: dict, timeout_s: float):
+    env = dict(os.environ, DIE_BENCH_INNER="1", **extra_env)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, text=True, env=env,
+    )
+    _SUP["child"] = proc
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _sup_log(f"child pid={proc.pid} hit {timeout_s:.0f}s timeout; SIGTERM "
+                 "(its handler emits a partial result)")
+        proc.terminate()
+        try:
+            out, _ = proc.communicate(timeout=90)
+        except subprocess.TimeoutExpired:
+            proc.kill()  # wedged in uninterruptible backend init
+            out, _ = proc.communicate()
+    _SUP["child"] = None
+    return proc.returncode, _parse_result(out)
+
+
+def _on_term(signum, frame):
+    # External watchdog killed the supervisor: forward to the child so it can
+    # emit its partial result; the attempt loop notices `term` and finishes.
+    _SUP["term"] = True
+    child = _SUP["child"]
+    if child is not None:
+        try:
+            child.terminate()
+        except Exception:
+            pass
+
+
+def supervisor_main() -> int:
+    signal.signal(signal.SIGTERM, _on_term)
+    deadline = float(os.environ.get("DIE_BENCH_DEADLINE_S", "5400"))
+    fallback_reserve = 900.0  # tiny-CPU fallback needs ~3-5 min incl. import
+    t0 = time.monotonic()
+    best = None
+
+    for attempt in range(1, 4):
+        remaining = deadline - (time.monotonic() - t0) - fallback_reserve
+        if remaining < 180 or _SUP["term"]:
+            break
+        _sup_log(f"attempt {attempt} (real backend), budget {remaining:.0f}s")
+        rc, res = _run_inner({}, remaining)
+        if res is not None and res.get("value") is not None:
+            print(json.dumps(res), flush=True)
+            return 0
+        best = res or best
+        if _SUP["term"]:
+            break
+        _sup_log(f"attempt {attempt} failed (rc={rc}); fresh-process retry "
+                 "after backoff (tunnel re-registration needs a new process)")
+        time.sleep(min(30 * attempt, 60))
+
+    if not _SUP["term"]:
+        _sup_log("falling back to tiny CPU (tunnel skipped)")
+        rc, res = _run_inner(
+            {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
+            max(300.0, deadline - (time.monotonic() - t0) - 30.0),
+        )
+        if res is not None and res.get("value") is not None:
+            print(json.dumps(res), flush=True)
+            return 0
+        best = res or best
+
+    if best is not None:
+        print(json.dumps(best), flush=True)
+        return 0
+    print(json.dumps({
+        "metric": "denoise steps/sec/chip (SD-1.5 512px guided edit) "
+                  "[ALL ATTEMPTS FAILED]",
+        "value": None, "unit": "steps/s/chip", "vs_baseline": None,
+    }), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main() if _INNER else supervisor_main())
