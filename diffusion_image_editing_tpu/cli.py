@@ -170,7 +170,8 @@ def cmd_seg_train(args):
     import jax
 
     n_dev = len(jax.devices())
-    data = batch_iterator(ds, args.batch_size * n_dev)
+    data = batch_iterator(ds, args.batch_size * n_dev,
+                          prefetch=args.prefetch, num_workers=args.num_workers)
     logger = setup_logger(args.ckpt_dir)
     train_loop(cfg, data, ckpt_dir=args.ckpt_dir, num_steps=args.num_steps,
                logger=logger)
@@ -283,6 +284,12 @@ def main(argv=None):
                         "bfloat16 is the TPU fast path")
     t.add_argument("--width", type=int, default=64)
     t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--prefetch", type=int, default=2,
+                   help="batches kept in flight by the background prefetch "
+                        "thread (0 disables; host aug overlaps device steps)")
+    t.add_argument("--num-workers", type=int, default=2,
+                   help="thread-pool workers loading items within a batch "
+                        "(the reference's num_workers=8 DataLoader)")
     t.set_defaults(fn=cmd_seg_train)
 
     v = sub.add_parser("seg-eval")

@@ -12,6 +12,7 @@ from .train import (  # noqa: F401
 )
 from .data import (  # noqa: F401
     FaceMaskDataset,
+    PrefetchIterator,
     SyntheticFaceMask,
     batch_iterator,
     merge_part_masks,

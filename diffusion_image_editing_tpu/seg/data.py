@@ -157,6 +157,70 @@ class FaceMaskDataset:
         return to_model_input(im), np.array(lb).astype(np.int32)
 
 
+class _PrefetchDone:
+    pass
+
+
+class _PrefetchError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+class PrefetchIterator:
+    """Bounded background-thread prefetch: the producer thread pulls from the
+    wrapped iterator and fills a queue while the consumer (the training loop)
+    blocks on the device step, overlapping host augmentation with device
+    compute — the role of the reference's 8-worker DataLoader
+    (`src/Segmentation/train.py:63-70`). `size` is the number of batches kept
+    in flight (2 = classic double buffering)."""
+
+    def __init__(self, it: Iterator, size: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._fill, args=(it,), name="die-prefetch", daemon=True
+        )
+        self._thread.start()
+
+    def _fill(self, it: Iterator) -> None:
+        import queue
+
+        try:
+            for item in it:
+                # bounded put that stays responsive to close()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            self._q.put(_PrefetchDone())
+        except BaseException as e:  # surfaced on the consumer side
+            self._q.put(_PrefetchError(e))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, _PrefetchDone):
+            raise StopIteration
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+
+    def __del__(self):  # belt-and-braces; the thread is daemon anyway
+        self._stop.set()
+
+
 def batch_iterator(
     dataset,
     batch_size: int,
@@ -164,9 +228,18 @@ def batch_iterator(
     shuffle: bool = True,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    prefetch: int = 0,
+    num_workers: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Endless shuffled (images, labels) NHWC batches; per-host sharding via
-    process slicing (the `DistributedSampler` of `train.py:63`)."""
+    process slicing (the `DistributedSampler` of `train.py:63`).
+
+    prefetch>0 wraps the stream in a PrefetchIterator holding that many
+    batches in flight (host augmentation overlaps device steps).
+    num_workers>0 additionally loads the items of each batch through a thread
+    pool; per-item RNGs are then derived from (seed, epoch, index) so the
+    augmentation stream is deterministic regardless of thread scheduling
+    (num_workers=0 keeps the original shared-rng sequential stream)."""
     import jax
 
     pi = jax.process_index() if process_index is None else process_index
@@ -174,13 +247,37 @@ def batch_iterator(
     rng = np.random.default_rng(seed + pi)
     n = len(dataset)
     indices = np.arange(n)[pi::pc]
-    while True:
-        order = rng.permutation(indices) if shuffle else indices
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            items = [dataset.__getitem__(j, rng) for j in order[i : i + batch_size]]
-            images = np.stack([x[0] for x in items])
-            labels = np.stack([x[1] for x in items])
-            yield images, labels
+
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers,
+                                  thread_name_prefix="die-loader")
+
+    def produce() -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        epoch = 0
+        while True:
+            order = rng.permutation(indices) if shuffle else indices
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                chunk = order[i : i + batch_size]
+                if num_workers > 0:
+                    items = list(pool.map(
+                        lambda j: dataset.__getitem__(
+                            int(j),
+                            np.random.default_rng((seed + pi, epoch, int(j))),
+                        ),
+                        chunk,
+                    ))
+                else:
+                    items = [dataset.__getitem__(j, rng) for j in chunk]
+                images = np.stack([x[0] for x in items])
+                labels = np.stack([x[1] for x in items])
+                yield images, labels
+            epoch += 1
+
+    if prefetch > 0:
+        return PrefetchIterator(produce(), size=prefetch)
+    return produce()
 
 
 class SyntheticFaceMask:

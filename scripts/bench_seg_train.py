@@ -86,23 +86,51 @@ def main():
         results[norm] = best
 
     # input pipeline on top: host-fed via batch_iterator (synthetic 448px
-    # samples generated + stacked on the single host CPU core each step)
+    # samples generated + stacked on the single host CPU core each step).
+    # Variants (VERDICT r3 item 6): plain serial feed; background-thread
+    # prefetch (aug overlaps device steps); prefetch with the device transfer
+    # (shard_batch) ALSO inside the producer thread so the relay upload
+    # overlaps device compute too.
+    from diffusion_image_editing_tpu.seg.data import PrefetchIterator
+
     state, step_fn, images, labels = build("bn", mesh)
     state, _ = chained(step_fn, state, images, labels, 5)
-    it = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH)
-    for n, tag in ((N_LO, "lo"), (N_HI, "hi")):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            im, lb = shard_batch(next(it), mesh)
+
+    def make_feed(variant: str):
+        if variant == "plain":
+            it = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH)
+            return it, lambda: shard_batch(next(it), mesh)
+        if variant == "prefetch":
+            it = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH,
+                                prefetch=3, num_workers=2)
+            return it, lambda: shard_batch(next(it), mesh)
+        # prefetch+xfer: device_put happens in the producer thread
+        base = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH,
+                              num_workers=2)
+        it = PrefetchIterator((shard_batch(b, mesh) for b in base), size=3)
+        return it, lambda: next(it)
+
+    for variant in ("plain", "prefetch", "prefetch+xfer"):
+        it, feed = make_feed(variant)
+        for _ in range(3):  # warm the feed path
+            im, lb = feed()
             state, loss = step_fn(state, im, lb)
         float(loss)
-        if tag == "lo":
-            t_lo = time.perf_counter() - t0
-        else:
-            t_hi = time.perf_counter() - t0
-    fed = (t_hi - t_lo) / (N_HI - N_LO) * 1e3
-    print(f"host-fed bn: {fed:.1f} ms/step ({BATCH/fed*1e3:.1f} img/s)",
-          flush=True)
+        for n, tag in ((N_LO, "lo"), (N_HI, "hi")):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                im, lb = feed()
+                state, loss = step_fn(state, im, lb)
+            float(loss)
+            if tag == "lo":
+                t_lo = time.perf_counter() - t0
+            else:
+                t_hi = time.perf_counter() - t0
+        fed = (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+        print(f"host-fed bn [{variant}]: {fed:.1f} ms/step "
+              f"({BATCH/fed*1e3:.1f} img/s)", flush=True)
+        if hasattr(it, "close"):
+            it.close()
 
     for norm, ms in results.items():
         print(f"{norm}: {ms:.1f} ms/step = {BATCH/ms*1e3:.1f} img/s "

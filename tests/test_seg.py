@@ -201,6 +201,50 @@ def test_train_loop_resume_continues_from_checkpoint(tmp_path):
     assert len(losses2) == 4  # resumed at 4, ran only 4 more
 
 
+def test_prefetch_iterator_matches_sequential():
+    """prefetch delivers the exact same batch stream (same seed, same order),
+    just through the background thread."""
+    plain = batch_iterator(SyntheticFaceMask(n=16, size=8), 4, seed=3,
+                           process_index=0, process_count=1)
+    fetched = batch_iterator(SyntheticFaceMask(n=16, size=8), 4, seed=3,
+                             process_index=0, process_count=1, prefetch=2)
+    try:
+        for _ in range(9):  # crosses an epoch boundary (16/4 = 4 per epoch)
+            a_img, a_lab = next(plain)
+            b_img, b_lab = next(fetched)
+            np.testing.assert_array_equal(a_img, b_img)
+            np.testing.assert_array_equal(a_lab, b_lab)
+    finally:
+        fetched.close()
+
+
+def test_prefetch_propagates_worker_exception():
+    from diffusion_image_editing_tpu.seg import PrefetchIterator
+
+    def boom():
+        yield 1
+        raise RuntimeError("augmentation failed")
+
+    it = PrefetchIterator(boom(), size=2)
+    assert next(it) == 1
+    with np.testing.assert_raises(RuntimeError):
+        next(it)
+
+
+def test_num_workers_stream_is_deterministic():
+    """Threaded item loading derives per-item RNGs from (seed, epoch, index):
+    two iterators with different worker counts produce identical batches."""
+    a = batch_iterator(SyntheticFaceMask(n=16, size=8), 4, seed=5,
+                       process_index=0, process_count=1, num_workers=1)
+    b = batch_iterator(SyntheticFaceMask(n=16, size=8), 4, seed=5,
+                       process_index=0, process_count=1, num_workers=3)
+    for _ in range(6):
+        a_img, a_lab = next(a)
+        b_img, b_lab = next(b)
+        np.testing.assert_array_equal(a_img, b_img)
+        np.testing.assert_array_equal(a_lab, b_lab)
+
+
 def test_multi_scale_transform():
     """Multi-scale eval pyramid (reference transform.py:96-119)."""
     from PIL import Image
