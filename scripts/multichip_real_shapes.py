@@ -26,8 +26,13 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+for _k, _v in (("jax_platforms", "cpu"), ("jax_num_cpu_devices", 8)):
+    try:
+        jax.config.update(_k, _v)
+    except Exception:
+        # backends already initialized — fine under pytest, whose conftest
+        # provides exactly this 8-virtual-CPU-device platform
+        pass
 
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +58,12 @@ from diffusion_image_editing_tpu.parallel import (
 
 LATENT = 64  # SD-1.5 512px image -> 64x64x4 latent
 CTX_LEN, CTX_DIM = 77, 768
+
+# Pinned GSPMD collective census of the partitioned production step (first
+# recorded round 3, MULTICHIP_SHAPES_r03.json). A count change means the
+# sharding of the program changed — the round-3 decoder-replication bug
+# showed up here first (40 all-gathers ballooned). Review, then re-pin.
+PINNED_CENSUS = {"collective-permute": 240, "all-reduce": 219, "all-gather": 40}
 
 
 def avals(tree):
@@ -199,9 +210,14 @@ def main():
     report["spatially_partitioned"] = bool(sharded)
 
     print(json.dumps(report, indent=2))
-    with open("/root/repo/MULTICHIP_SHAPES_r03.json", "w") as f:
+    with open("/root/repo/MULTICHIP_SHAPES_r04.json", "w") as f:
         json.dump(report, f, indent=2)
 
+    assert dict(coll) == PINNED_CENSUS, (
+        f"collective census changed: {dict(coll)} != pinned {PINNED_CENSUS} — "
+        "the production program's sharding regressed (or improved: re-pin "
+        "deliberately after review)"
+    )
     assert sharded, (
         f"decoder convs NOT spatially partitioned: max conv H={max_h} "
         f"(global {SD_VAE.sample_size})"
