@@ -541,15 +541,23 @@ def supervisor_main() -> int:
     signal.signal(signal.SIGTERM, _on_term)
     deadline = float(os.environ.get("DIE_BENCH_DEADLINE_S", "5400"))
     fallback_reserve = 900.0  # tiny-CPU fallback needs ~3-5 min incl. import
+    # Per-attempt cap: a wedged-tunnel backend init blocks in NATIVE code, so
+    # no inner-side alarm can fire (Python handlers need the interpreter) —
+    # the only escape is this external timeout. Capping one attempt below the
+    # whole deadline keeps multiple real attempts alive (round-4 observation:
+    # one init hang ate a 4561s budget); 3000s still fits a cold-cache full
+    # 6-phase run (~50 min measured).
+    attempt_cap = float(os.environ.get("DIE_BENCH_ATTEMPT_S", "3000"))
     t0 = time.monotonic()
     best = None
 
-    for attempt in range(1, 4):
+    for attempt in range(1, 6):
         remaining = deadline - (time.monotonic() - t0) - fallback_reserve
         if remaining < 180 or _SUP["term"]:
             break
-        _sup_log(f"attempt {attempt} (real backend), budget {remaining:.0f}s")
-        rc, res = _run_inner({}, remaining)
+        budget = min(remaining, attempt_cap)
+        _sup_log(f"attempt {attempt} (real backend), budget {budget:.0f}s")
+        rc, res = _run_inner({}, budget)
         if res is not None and res.get("value") is not None:
             print(json.dumps(res), flush=True)
             return 0
