@@ -81,24 +81,32 @@ class ShardedCfgEpsClosure(struct.PyTreeNode):
 
 class SpatialDecodeClosure(struct.PyTreeNode):
     """Decode closure whose input latent (and therefore the decoder convs and
-    their VJP) is sharded along H over the 'sp' mesh axis."""
+    their VJP) is sharded along H over the given mesh axes.
+
+    `axes` defaults to 'sp'; pass ("cfg", "sp") to split H over BOTH axes —
+    the decode runs on a batch-1 latent (no CFG pair), so on a cfg x sp mesh
+    an 'sp'-only split leaves the 'cfg' axis idle and duplicates the whole
+    decode fwd+VJP per cfg group (measured: 1.78x per-device FLOP overhead
+    vs the unsharded step, MULTICHIP_PROJECTION_r04.json; 8-way H fixes it).
+    """
 
     apply_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
     params: Any = None
     scale: Any = 1.0
     mesh: Mesh = struct.field(pytree_node=False, default=None)
+    axes: Any = struct.field(pytree_node=False, default="sp")
 
     def __call__(self, z: Array) -> Array:
         if self.mesh is not None:
             z = jax.lax.with_sharding_constraint(
-                z, NamedSharding(self.mesh, P(None, "sp"))
+                z, NamedSharding(self.mesh, P(None, self.axes))
             )
         if self.apply_fn is None:
             return z
         out = self.apply_fn(self.params, z / self.scale)
         if self.mesh is not None:
             out = jax.lax.with_sharding_constraint(
-                out, NamedSharding(self.mesh, P(None, "sp"))
+                out, NamedSharding(self.mesh, P(None, self.axes))
             )
         return out
 
@@ -113,11 +121,12 @@ def make_sharded_cfg_eps_fn(
     return ShardedCfgEpsClosure(apply_fn, params, text_emb, cfg_scale, mesh)
 
 
-def spatial_shard(mesh: Mesh, axis: str = "sp") -> Callable[[Array], Array]:
+def spatial_shard(mesh: Mesh, axis="sp") -> Callable[[Array], Array]:
     """Activation re-sharding hook: constrain an NHWC activation's H to the
-    spatial mesh axis. Pass as `shard_fn` to `Decoder`/`decode` — GSPMD
-    propagation from the decoder boundary alone loses the partitioning at
-    the middle resolutions (measured; see `models.vae.Decoder`)."""
+    spatial mesh axis (a name or a tuple of names, e.g. ("cfg", "sp") for an
+    H split over the whole mesh). Pass as `shard_fn` to `Decoder`/`decode` —
+    GSPMD propagation from the decoder boundary alone loses the partitioning
+    at the middle resolutions (measured; see `models.vae.Decoder`)."""
 
     def keep(x: Array) -> Array:
         return jax.lax.with_sharding_constraint(
@@ -128,14 +137,17 @@ def spatial_shard(mesh: Mesh, axis: str = "sp") -> Callable[[Array], Array]:
 
 
 def shard_decode_fn(
-    decode_fn: DecodeClosure, mesh: Mesh, apply_fn: Optional[Callable] = None
+    decode_fn: DecodeClosure, mesh: Mesh, apply_fn: Optional[Callable] = None,
+    axes="sp",
 ) -> SpatialDecodeClosure:
     """Lift a wrapper's DecodeClosure onto the mesh (same params). `apply_fn`
     optionally overrides the decode invocation — use one that threads
-    `spatial_shard(mesh)` into the decoder (e.g.
+    `spatial_shard(mesh, axes)` into the decoder (e.g.
     `lambda p, z: vae.apply(p, z, method="decode", shard_fn=spatial_shard(mesh))`)
-    so every decoder stage stays partitioned, not just the boundary."""
+    so every decoder stage stays partitioned, not just the boundary. On a
+    cfg x sp mesh pass axes=("cfg", "sp") so the batch-1 decode+VJP splits
+    over ALL devices instead of duplicating per cfg group."""
     return SpatialDecodeClosure(
         apply_fn if apply_fn is not None else decode_fn.apply_fn,
-        decode_fn.params, decode_fn.scale, mesh,
+        decode_fn.params, decode_fn.scale, mesh, axes,
     )

@@ -63,7 +63,7 @@ CTX_LEN, CTX_DIM = 77, 768
 # recorded round 3, MULTICHIP_SHAPES_r03.json). A count change means the
 # sharding of the program changed — the round-3 decoder-replication bug
 # showed up here first (40 all-gathers ballooned). Review, then re-pin.
-PINNED_CENSUS = {"collective-permute": 240, "all-reduce": 219, "all-gather": 40}
+PINNED_CENSUS = {"collective-permute": 235, "all-reduce": 214, "all-gather": 40}
 
 
 def avals(tree):
@@ -88,7 +88,11 @@ def build(mesh):
     text_emb = jax.ShapeDtypeStruct((2, CTX_LEN, CTX_DIM), jnp.float32)
     eps_fn = make_sharded_cfg_eps_fn(unet.apply, uparams, text_emb, 3.5, mesh)
     vae_apply = vae.apply
-    keep = spatial_shard(mesh)
+    # The decode runs batch-1 (no CFG pair): split H over the WHOLE mesh
+    # (8-way), not just 'sp' — an 'sp'-only split duplicated the decode
+    # fwd+VJP per cfg group (1.78x per-device FLOP overhead, r04 projection).
+    axes = tuple(mesh.axis_names)
+    keep = spatial_shard(mesh, axes)
     dec_fn = shard_decode_fn(
         DecodeClosure(
             lambda p, z: vae_apply(p, z, method="decode"), vparams, 0.18215
@@ -98,6 +102,7 @@ def build(mesh):
         # constraints alone lose 'sp' at the 128/256-px stages (first run of
         # this script measured max conv H=256 fully replicated)
         apply_fn=lambda p, z: vae_apply(p, z, method="decode", shard_fn=keep),
+        axes=axes,
     )
     return eps_fn, dec_fn
 

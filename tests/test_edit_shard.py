@@ -129,3 +129,39 @@ def test_shard_fn_threaded_decoder_parity():
     g0 = jax.jit(jax.grad(loss_plain))(z)
     g1 = jax.jit(jax.grad(loss_sharded))(z)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=5e-5, atol=5e-5)
+
+
+def test_full_mesh_decode_parity():
+    """H split over BOTH mesh axes (the batch-1 decode has no CFG pair; an
+    'sp'-only split leaves 'cfg' idle and duplicates the decode fwd+VJP per
+    cfg group — 1.78x per-device FLOPs at real shapes, r04 projection).
+    Placement-only: decode and its VJP must match the unsharded run."""
+    from diffusion_image_editing_tpu.parallel import spatial_shard
+
+    _, _, vae, vparams, _, _, decode_fn = _setup()
+    mesh = cfg_mesh(cfg=2, sp=4)
+    vae_apply = vae.apply
+    axes = tuple(mesh.axis_names)
+    keep = spatial_shard(mesh, axes)
+    sharded_dec = shard_decode_fn(
+        decode_fn, mesh,
+        apply_fn=lambda p, z: vae_apply(p, z, method="decode", shard_fn=keep),
+        axes=axes,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 16, 4))
+
+    out_plain = jax.jit(lambda f, z_: f(z_))(decode_fn, z)
+    out_sharded = jax.jit(lambda f, z_: f(z_))(sharded_dec, z)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_sharded), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_plain(z_):
+        return jnp.sum(decode_fn(z_) ** 2)
+
+    def loss_sharded(z_):
+        return jnp.sum(sharded_dec(z_) ** 2)
+
+    g0 = jax.jit(jax.grad(loss_plain))(z)
+    g1 = jax.jit(jax.grad(loss_sharded))(z)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=5e-5, atol=5e-5)
