@@ -350,6 +350,77 @@ def phase_e2e_seg(tiny, models, reps=2):
     return _timed_pass(run_pass, warm, start, reps)
 
 
+def phase_sweep(tiny, models, grid=8, reps=2):
+    """Aggregate sample-steps/s for a guidance-scale grid on ONE chip
+    (BASELINE config 5, production scale): the grid rides the batch axis with
+    per-sample loss scales (swept attr leaves through `apply_batched`'s
+    serialized per-sample VJPs), replacing the reference's serial Python
+    loop over configurations (`src/metrics.py:79,170`)."""
+    denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+        build_edit_step(tiny, models, guidance="color", decode_remat="none")
+    )
+    attr = attr.replace(loss_scale=jnp.linspace(0.0, 20.0, grid))
+    xt = jnp.repeat(xt, grid, axis=0)
+    timesteps = np.asarray(sched.timesteps)
+
+    def run_pass(x):
+        for i, t in enumerate(timesteps):
+            x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+            x = guidance_nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
+        return x
+
+    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+    return grid * STEPS / elapsed
+
+
+def phase_seg_train(tiny):
+    """BiSeNet trainer ms/step at the reference recipe (448px, width 64,
+    batch 16/device) with bf16 compute (VERDICT r3 item 4). Slope timing:
+    two chained loop lengths cancel the fixed relay latency
+    (`scripts/bench_seg_train.py` methodology; full norm/feed matrix there)."""
+    from jax.sharding import Mesh
+
+    from diffusion_image_editing_tpu.seg import (
+        TrainConfig,
+        create_train_state,
+        make_sharded_train_step,
+    )
+    from diffusion_image_editing_tpu.seg.train import shard_batch
+
+    size, batch, width = (32, 2, 8) if tiny else (448, 16, 64)
+    n_lo, n_hi = 5, 30
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    cfg = TrainConfig(image_size=size, batch_size_per_device=batch,
+                      norm="bn", width=width, compute_dtype="bfloat16")
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), None)
+    step_fn = make_sharded_train_step(model, cfg, mesh)
+    rng = np.random.default_rng(0)
+    n_dev = len(jax.devices())
+    images, labels = shard_batch(
+        (rng.normal(size=(batch * n_dev, size, size, 3)).astype(np.float32),
+         rng.integers(0, cfg.n_classes, (batch * n_dev, size, size)).astype(np.int32)),
+        mesh,
+    )
+
+    def chained(state_, n):
+        for _ in range(n):
+            state_, loss = step_fn(state_, images, labels)
+        return state_, float(loss)
+
+    state, _ = chained(state, n_lo)  # compile + warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, _ = chained(state, n_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, _ = chained(state, n_hi)
+        t_hi = time.perf_counter() - t0
+        ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+        best = ms if best is None else min(best, ms)
+    return best, batch / best * 1e3  # ms/step, img/s/chip
+
+
 def phase_ldm_clf(reps=3):
     """steps/s for the LDM celebahq-256 classifier-guided edit (BASELINE
     config 3: latent-space inversion + anyGAN classifier guidance through
@@ -448,7 +519,12 @@ def main():
         return 3
     tiny = backend == "cpu"
     _RESULT["tiny"] = tiny
-    default_phases = "headline" if tiny else "headline,e2e,e2e_seg,batch,seg,ldm"
+    # order = priority under a deadline: the partial-emit handlers record
+    # whatever completed, so the never-yet-recorded numbers (ldm, sweep,
+    # train) come right after the standing headline/e2e records
+    default_phases = (
+        "headline" if tiny else "headline,e2e,e2e_seg,ldm,sweep,train,batch,seg"
+    )
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
     extras = _RESULT["extras"]
@@ -459,6 +535,14 @@ def main():
         extras["e2e_invert_edit_s"] = round(phase_e2e(tiny, models), 3)
     if "e2e_seg" in phases:
         extras["e2e_seg_edit_s"] = round(phase_e2e_seg(tiny, models), 3)
+    if "ldm" in phases and not tiny:
+        extras["ldm_clf_steps_s"] = round(phase_ldm_clf(), 3)
+    if "sweep" in phases:
+        extras["sweep8_sample_steps_s"] = round(phase_sweep(tiny, models), 3)
+    if "train" in phases:
+        ms, img_s = phase_seg_train(tiny)
+        extras["train_bf16_ms_step"] = round(ms, 2)
+        extras["train_bf16_img_s"] = round(img_s, 1)
     if "batch" in phases:
         for b in (2, 4):
             sps = phase_guided_edit(tiny, models, batch=b, reps=2)
@@ -467,8 +551,6 @@ def main():
         extras["seg_steps_s"] = round(
             phase_guided_edit(tiny, models, guidance="seg", reps=2), 3
         )
-    if "ldm" in phases and not tiny:
-        extras["ldm_clf_steps_s"] = round(phase_ldm_clf(), 3)
     # Disarm before the final emit: a late alarm/SIGTERM during teardown must
     # not print a second (partial-marked) line.
     signal.alarm(0)

@@ -182,7 +182,11 @@ class AttrFunc(struct.PyTreeNode):
           the guidance strength by 1/B.
 
         Per-sample `mask` / `x0` arrays (leading dim == batch) are mapped
-        alongside the samples; batch-1 broadcast arrays are shared."""
+        alongside the samples; batch-1 broadcast arrays are shared. Swept
+        dynamic attr leaves (loss_scale/t1/t2/lambda_ with leading dim ==
+        batch, see `parallel.sweep_attr_func`) are mapped too — a guidance-
+        scale grid runs as ONE batched single-chip program through the same
+        serialized-VJP path (BASELINE config 5)."""
         b = xt.shape[0]
         if b == 1:
             return self.apply(
@@ -198,11 +202,22 @@ class AttrFunc(struct.PyTreeNode):
         per_sample_mask = mask is not None and mask.shape[0] == b
         if per_sample_mask:
             mapped["m"] = mask
+        swept = [
+            f for f in ("loss_scale", "t1", "t2", "lambda_")
+            if getattr(getattr(self, f), "ndim", 0) >= 1
+            and getattr(self, f).shape[0] == b
+        ]
+        for f in swept:
+            mapped["attr_" + f] = getattr(self, f)
 
         def one(mp):
+            af = (
+                self.replace(**{f: mp["attr_" + f] for f in swept})
+                if swept else self
+            )
             x01 = mp["x0"][None] if per_sample_x0 else x0
             m1 = mp["m"][None] if per_sample_mask else mask
-            xn, zn = self.apply(
+            xn, zn = af.apply(
                 mp["x"][None],
                 mp["z"][None] if has_z else None,
                 mp["e"][None],

@@ -346,3 +346,35 @@ def test_apply_batched_chunked_vjp_matches_serialized():
         xc, zc = attr.apply_batched(xt, zt, eps, t, idx, sched, dec)
         np.testing.assert_allclose(np.asarray(xc), np.asarray(x1), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(zc), np.asarray(z1), rtol=1e-5, atol=1e-5)
+
+
+def test_apply_batched_swept_attr_leaves():
+    """A guidance-scale grid as a BATCH (swept loss_scale with leading dim ==
+    batch, `parallel.sweep_attr_func`) routes each sample's own scale through
+    the per-sample VJP path — sample i must equal apply() with scale[i]
+    (BASELINE config 5 on one chip)."""
+    sched, _ = _setup()
+    key = jax.random.PRNGKey(31)
+    xt = jnp.repeat(jax.random.normal(key, (1, 16, 16, 3)), 3, axis=0)
+    eps = jnp.repeat(
+        jax.random.normal(jax.random.fold_in(key, 1), (1, 16, 16, 3)), 3, axis=0
+    )
+    scales = jnp.asarray([0.0, 10.0, 50.0])
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=scales,
+                               t1=0, t2=STEPS)
+    from diffusion_image_editing_tpu.engine.denoise import DecodeClosure
+
+    dec = DecodeClosure()
+    t, idx = jnp.int32(sched.timesteps[2]), jnp.int32(2)
+    xb, _ = attr.apply_batched(xt, None, eps, t, idx, sched, dec)
+    for i in range(3):
+        xi, _ = attr.replace(loss_scale=scales[i]).apply(
+            xt[i : i + 1], None, eps[i : i + 1], t, idx, sched, dec
+        )
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xi[0]),
+                                   rtol=1e-5, atol=1e-5)
+    # scale 0.0 => no nudge; larger scale => larger nudge
+    np.testing.assert_allclose(np.asarray(xb[0]), np.asarray(xt[0]), rtol=0, atol=0)
+    d1 = float(jnp.sum(jnp.abs(xb[1] - xt[1])))
+    d2 = float(jnp.sum(jnp.abs(xb[2] - xt[2])))
+    assert d2 > d1 > 0.0
