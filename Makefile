@@ -21,3 +21,8 @@ ab-batch:
 multichip-analyze:
 	PALLAS_AXON_POOL_IPS= python scripts/multichip_real_shapes.py
 	PALLAS_AXON_POOL_IPS= python scripts/multichip_seg_train.py
+
+# v5e-8 projection + sweep partition inspection (8 virtual CPU devices)
+multichip-project:
+	PALLAS_AXON_POOL_IPS= python scripts/project_v5e8.py
+	PALLAS_AXON_POOL_IPS= python scripts/multichip_sweep.py
