@@ -160,7 +160,14 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        # Exact-2x nearest as broadcast+reshape, NOT jax.image.resize: resize
+        # lowers to a gather, which GSPMD cannot partition along the gathered
+        # (H) dim — under spatial sharding it all-gathered the FULL activation
+        # at every up-stage (67 MB at the 256px VAE stage alone; r04 HLO
+        # census). Broadcast/reshape stays partitioned. Values identical.
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+        ).reshape(n, h * 2, w * 2, c)
         return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 

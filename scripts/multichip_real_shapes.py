@@ -63,7 +63,7 @@ CTX_LEN, CTX_DIM = 77, 768
 # recorded round 3, MULTICHIP_SHAPES_r03.json). A count change means the
 # sharding of the program changed — the round-3 decoder-replication bug
 # showed up here first (40 all-gathers ballooned). Review, then re-pin.
-PINNED_CENSUS = {"collective-permute": 235, "all-reduce": 214, "all-gather": 40}
+PINNED_CENSUS = {"collective-permute": 235, "all-reduce": 211, "all-gather": 34}
 
 
 def avals(tree):
