@@ -63,8 +63,11 @@ def main():
     assert jax.default_backend() != "cpu", "bench needs the chip"
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     results = {}
+    # bf16 A/B covers the VERDICT r3 item-4 dispatch question: does the
+    # Pallas fused-ABN kernel or XLA's BN fusion win at bf16 compute?
     for norm, cdt in (("bn", "float32"), ("bn_bf16", "bfloat16"),
-                      ("abn", "float32"), ("abn_sync", "float32")):
+                      ("abn", "float32"), ("abn_bf16", "bfloat16"),
+                      ("abn_sync", "float32")):
         state, step_fn, images, labels = build(norm.split("_")[0] if norm != "abn_sync" else norm, mesh, cdt)
         # compile + full warm (relay first-program artifact)
         state, _ = chained(step_fn, state, images, labels, N_LO)
