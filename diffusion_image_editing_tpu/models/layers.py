@@ -151,6 +151,21 @@ class Downsample2D(nn.Module):
         )(x)
 
 
+def upsample2x_nearest(x: Array) -> Array:
+    """Exact-2x nearest upsample as broadcast+reshape, NOT jax.image.resize:
+    resize lowers to a gather, which (a) GSPMD cannot partition along the
+    gathered (H) dim — under spatial sharding it all-gathered the FULL
+    activation at every up-stage (67 MB at the 256px VAE stage alone; r04
+    HLO census) — and (b) has a scatter-add VJP, costly on TPU in every
+    backward that crosses it (guidance VJPs, the BiSeNet trainer).
+    Broadcast/reshape stays partitioned and transposes to a reduce.
+    Values identical to nearest resize at integer 2x."""
+    n, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+    ).reshape(n, h * 2, w * 2, c)
+
+
 class Upsample2D(nn.Module):
     """Nearest 2x upsample + 3x3 conv."""
 
@@ -159,15 +174,7 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        n, h, w, c = x.shape
-        # Exact-2x nearest as broadcast+reshape, NOT jax.image.resize: resize
-        # lowers to a gather, which GSPMD cannot partition along the gathered
-        # (H) dim — under spatial sharding it all-gathered the FULL activation
-        # at every up-stage (67 MB at the 256px VAE stage alone; r04 HLO
-        # census). Broadcast/reshape stays partitioned. Values identical.
-        x = jnp.broadcast_to(
-            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
-        ).reshape(n, h * 2, w * 2, c)
+        x = upsample2x_nearest(x)
         return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
