@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-from .layers import upsample2x_nearest
+from .layers import upsample_nearest
 from .resnet import NormAct, Resnet18Features
 
 Array = jax.Array
@@ -136,19 +136,18 @@ class ContextPath(nn.Module):
         f32_arm = AttentionRefinementModule(w * 2, self.norm, self.axis_name,
                                             self.dtype, name="arm32")(feat32, train)
         f32_sum = f32_arm + avg_up
-        # mode="nearest" 2x (model.py:128) as broadcast+reshape: the
-        # jax.image.resize gather's scatter-add VJP sat in the trainer's and
-        # the seg-guidance VJP's backward (see layers.upsample2x_nearest)
-        assert (h16, w16) == (2 * f32_sum.shape[1], 2 * f32_sum.shape[2])
-        f32_up = upsample2x_nearest(f32_sum)
+        # mode="nearest" (model.py:128) as broadcast+reshape (2x at every
+        # production size): the jax.image.resize gather's scatter-add VJP sat
+        # in the trainer's and the seg-guidance VJP's backward
+        # (see layers.upsample_nearest)
+        f32_up = upsample_nearest(f32_sum, h16, w16)
         f32_up = ConvBNReLU(w * 2, 3, 1, 1, self.norm, self.axis_name, self.dtype,
                             name="conv_head32")(f32_up, train)
 
         f16_arm = AttentionRefinementModule(w * 2, self.norm, self.axis_name,
                                             self.dtype, name="arm16")(feat16, train)
         f16_sum = f16_arm + f32_up
-        assert (h8, w8) == (2 * f16_sum.shape[1], 2 * f16_sum.shape[2])
-        f16_up = upsample2x_nearest(f16_sum)
+        f16_up = upsample_nearest(f16_sum, h8, w8)
         f16_up = ConvBNReLU(w * 2, 3, 1, 1, self.norm, self.axis_name, self.dtype,
                             name="conv_head16")(f16_up, train)
         return feat8, f16_up, f32_up

@@ -151,6 +151,22 @@ class Downsample2D(nn.Module):
         )(x)
 
 
+def upsample_nearest(x: Array, h_out: int, w_out: int) -> Array:
+    """Nearest upsample to (h_out, w_out): integer scale factors use the
+    partitionable broadcast+reshape form (see `upsample2x_nearest`);
+    non-integer factors fall back to `jax.image.resize` (only reachable at
+    degenerate test sizes — every production shape is an exact 2x)."""
+    n, h, w, c = x.shape
+    if (h_out, w_out) == (h, w):
+        return x
+    if h_out % h == 0 and w_out % w == 0:
+        kh, kw = h_out // h, w_out // w
+        return jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, kh, w, kw, c)
+        ).reshape(n, h_out, w_out, c)
+    return jax.image.resize(x, (n, h_out, w_out, c), method="nearest")
+
+
 def upsample2x_nearest(x: Array) -> Array:
     """Exact-2x nearest upsample as broadcast+reshape, NOT jax.image.resize:
     resize lowers to a gather, which (a) GSPMD cannot partition along the

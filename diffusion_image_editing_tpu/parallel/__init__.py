@@ -1,6 +1,8 @@
 from .edit_shard import (  # noqa: F401
     ShardedCfgEpsClosure,
+    ShardedEpsClosure,
     SpatialDecodeClosure,
+    SpatialEncodeClosure,
     cfg_mesh,
     make_sharded_cfg_eps_fn,
     shard_decode_fn,

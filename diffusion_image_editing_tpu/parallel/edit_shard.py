@@ -79,6 +79,59 @@ class ShardedCfgEpsClosure(struct.PyTreeNode):
         return eps_uncond + self.cfg_scale * (eps_text - eps_uncond)
 
 
+class ShardedEpsClosure(struct.PyTreeNode):
+    """Unconditional denoiser (no CFG pair) with activations' H constrained
+    over the given mesh axes — the DDPM/LDM counterpart of
+    `ShardedCfgEpsClosure` (batch 1 has no pair axis, so H takes the whole
+    mesh). Same math as `engine.denoise.EpsClosure`."""
+
+    apply_fn: Callable = struct.field(pytree_node=False)
+    params: Any = None
+    mesh: Mesh = struct.field(pytree_node=False, default=None)
+    axes: Any = struct.field(pytree_node=False, default=None)  # None = all
+
+    def _spec(self) -> P:
+        axes = self.axes if self.axes is not None else tuple(self.mesh.axis_names)
+        return P(None, axes)
+
+    def __call__(self, x: Array, t: Array) -> Array:
+        if self.mesh is not None:
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, self._spec())
+            )
+        eps = self.apply_fn(self.params, x, t)
+        if self.mesh is not None:
+            eps = jax.lax.with_sharding_constraint(
+                eps, NamedSharding(self.mesh, self._spec())
+            )
+        return eps
+
+
+class SpatialEncodeClosure(struct.PyTreeNode):
+    """Encode closure (image -> scaled latent) with input/output H constrained
+    over the mesh axes — `engine.denoise.EncodeClosure` math."""
+
+    apply_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    params: Any = None
+    scale: Any = 1.0  # latent multiplied by this after encoding
+    mesh: Mesh = struct.field(pytree_node=False, default=None)
+    axes: Any = struct.field(pytree_node=False, default="sp")
+
+    def __call__(self, x: Array) -> Array:
+        if self.mesh is not None:
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P(None, self.axes))
+            )
+        if self.apply_fn is None:
+            return x
+        out = self.apply_fn(self.params, x) * self.scale
+        if self.mesh is not None:
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.mesh, P(None, self.axes))
+            )
+        return out
+
+
 class SpatialDecodeClosure(struct.PyTreeNode):
     """Decode closure whose input latent (and therefore the decoder convs and
     their VJP) is sharded along H over the given mesh axes.

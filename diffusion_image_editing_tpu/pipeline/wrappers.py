@@ -43,12 +43,48 @@ class DiffusionWrapper:
         self.data_dimensionality = unet_module.config.sample_size
         self.latent_channels = unet_module.config.in_channels
         self._jit_cache: Dict[Any, Callable] = {}
+        self._mesh = None
         # Bound-method / lambda identities must be stable across calls or the
         # static fields of the pytree closures defeat the jit cache.
         self._unet_apply = unet_module.apply
+        # set inline, NOT via the virtual _setup_codec: subclass overrides
+        # reference attributes (vae/vqvae) that don't exist yet at this point
         self._encode_closure = EncodeClosure()
         self._decode_closure = DecodeClosure()
         self._decode_closure_remat = DecodeClosure()
+
+    def _setup_codec(self) -> None:
+        if self._mesh is not None:
+            from ..parallel.edit_shard import SpatialDecodeClosure, SpatialEncodeClosure
+
+            axes = tuple(self._mesh.axis_names)
+            # pixel space: identity codec, but keep the latents H-sharded
+            self._encode_closure = SpatialEncodeClosure(mesh=self._mesh, axes=axes)
+            self._decode_closure = SpatialDecodeClosure(mesh=self._mesh, axes=axes)
+            self._decode_closure_remat = self._decode_closure
+            return
+        self._encode_closure = EncodeClosure()
+        self._decode_closure = DecodeClosure()
+        self._decode_closure_remat = DecodeClosure()
+
+    def to_mesh(self, mesh) -> "DiffusionWrapper":
+        """A shallow copy whose denoiser/codec closures carry the single-image
+        latency sharding (`parallel/edit_shard.py`): the CFG pair splits over
+        a 'cfg' mesh axis when present, activations shard along H, and the
+        batch-1 decode+VJP splits H over the WHOLE mesh. Constraints only —
+        sharded == unsharded numerically (tests + driver dryrun). The same
+        EditPipeline / generate / invert code then runs partitioned:
+
+            mesh = parallel.cfg_mesh(cfg=2, sp=4)
+            pipe = EditPipeline(wrapper.to_mesh(mesh), seg_model)
+        """
+        import copy
+
+        w = copy.copy(self)
+        w._mesh = mesh
+        w._jit_cache = {}
+        w._setup_codec()
+        return w
 
     # ---- codec boundary --------------------------------------------------
     def encode_fn(self) -> EncodeClosure:
@@ -75,6 +111,17 @@ class DiffusionWrapper:
         return None
 
     def eps_fn(self, text_emb: Optional[Array] = None, cfg_scale: float = 3.5) -> EpsFn:
+        if self._mesh is not None:
+            from ..parallel.edit_shard import (
+                ShardedEpsClosure,
+                make_sharded_cfg_eps_fn,
+            )
+
+            if text_emb is None:
+                return ShardedEpsClosure(self._unet_apply, self.unet_params, self._mesh)
+            return make_sharded_cfg_eps_fn(
+                self._unet_apply, self.unet_params, text_emb, cfg_scale, self._mesh
+            )
         if text_emb is None:
             return D.make_eps_fn(self._unet_apply, self.unet_params)
         return D.make_cfg_eps_fn(self._unet_apply, self.unet_params, text_emb, cfg_scale)
@@ -200,6 +247,28 @@ class LDM(DiffusionWrapper):
 
     def _setup_codec(self) -> None:
         apply = self.vqvae.apply
+        if self._mesh is not None:
+            from ..parallel.edit_shard import (
+                SpatialDecodeClosure,
+                SpatialEncodeClosure,
+                spatial_shard,
+            )
+
+            axes = tuple(self._mesh.axis_names)
+            keep = spatial_shard(self._mesh, axes)
+            self._encode_closure = SpatialEncodeClosure(
+                lambda p, x: apply(p, x, method="encode"), self.vqvae_params,
+                1.0, self._mesh, axes,
+            )
+            self._decode_closure = SpatialDecodeClosure(
+                lambda p, z: apply(p, z, method="decode", shard_fn=keep),
+                self.vqvae_params, 1.0, self._mesh, axes,
+            )
+            self._decode_closure_remat = SpatialDecodeClosure(
+                lambda p, z: apply(p, z, remat=True, method="decode", shard_fn=keep),
+                self.vqvae_params, 1.0, self._mesh, axes,
+            )
+            return
         self._encode_closure = EncodeClosure(
             lambda p, x: apply(p, x, method="encode"), self.vqvae_params
         )
@@ -232,6 +301,30 @@ class SD(DiffusionWrapper):
     def _setup_codec(self) -> None:
         apply = self.vae.apply
         sf = self.vae.config.scaling_factor
+        if self._mesh is not None:
+            from ..parallel.edit_shard import (
+                SpatialDecodeClosure,
+                SpatialEncodeClosure,
+                spatial_shard,
+            )
+
+            axes = tuple(self._mesh.axis_names)
+            # per-stage re-anchor (shard_fn): boundary constraints alone lose
+            # the partitioning at the middle decoder stages (PARITY.md r3)
+            keep = spatial_shard(self._mesh, axes)
+            self._encode_closure = SpatialEncodeClosure(
+                lambda p, x: apply(p, x, method="encode"), self.vae_params,
+                sf, self._mesh, axes,
+            )
+            self._decode_closure = SpatialDecodeClosure(
+                lambda p, z: apply(p, z, method="decode", shard_fn=keep),
+                self.vae_params, sf, self._mesh, axes,
+            )
+            self._decode_closure_remat = SpatialDecodeClosure(
+                lambda p, z: apply(p, z, remat=True, method="decode", shard_fn=keep),
+                self.vae_params, sf, self._mesh, axes,
+            )
+            return
         self._encode_closure = EncodeClosure(
             lambda p, x: apply(p, x, method="encode"), self.vae_params, scale=sf
         )

@@ -165,3 +165,78 @@ def test_full_mesh_decode_parity():
     g0 = jax.jit(jax.grad(loss_plain))(z)
     g1 = jax.jit(jax.grad(loss_sharded))(z)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=5e-5, atol=5e-5)
+
+
+def test_to_mesh_pipeline_parity_sd():
+    """`wrapper.to_mesh(mesh)` makes the PUBLIC pipeline API run sharded
+    (CFG pair over 'cfg', activations/codec H over the mesh) with closures
+    swapped under the hood — prepare_real_image_edit + edit_image must equal
+    the unsharded wrapper bit-for-tolerance."""
+    from diffusion_image_editing_tpu.models import CLIPTextEncoder
+    from diffusion_image_editing_tpu.models.clip_text import CLIPTextConfig
+    from diffusion_image_editing_tpu.pipeline import EditPipeline
+    from diffusion_image_editing_tpu.pipeline.wrappers import SD
+
+    unet, uparams, vae, vparams, _, sched, _ = _setup()
+    tcfg = CLIPTextConfig(vocab_size=64, hidden_size=16, num_layers=1,
+                          num_heads=2, intermediate_size=32,
+                          max_position_embeddings=16)
+    text = CLIPTextEncoder(tcfg)
+    tparams = text.init(jax.random.PRNGKey(5), jnp.zeros((1, 7), jnp.int32))
+    sd = SD(unet, uparams, sched, vae, vparams, text, tparams)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, (2, 7)), jnp.int32
+    )
+    img = jax.random.normal(jax.random.PRNGKey(6), (1, 32, 32, 3)) * 0.2
+
+    def run(wrapper):
+        pipe = EditPipeline(wrapper)
+        xt, _, _, _, _ = pipe.prepare_real_image_edit(
+            img, eta=0.0, inversion_method="ddim", prompt_ids=ids, cfg_scale=2.0
+        )
+        attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=5.0,
+                                   t1=0, t2=STEPS)
+        out = pipe.edit_image(xt, attr_func=attr, prompt_ids=ids,
+                              cfg_scale=2.0, collect=False)
+        return out.imgs
+
+    plain = run(sd)
+    sharded = run(sd.to_mesh(cfg_mesh(cfg=2, sp=4)))
+    assert np.isfinite(np.asarray(sharded)).all()
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_to_mesh_pipeline_parity_ddpm_uncond():
+    """DDPM (no CFG pair): to_mesh shards H over the whole mesh via
+    ShardedEpsClosure + identity spatial codec; masked resynthesis edit
+    through the public API must match unsharded."""
+    from jax.sharding import Mesh
+
+    from diffusion_image_editing_tpu.core import make_schedule
+    from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+    from diffusion_image_editing_tpu.pipeline import DDPM, EditPipeline
+
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    ddpm = DDPM(model, params, sched)
+    img = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 3)) * 0.2
+
+    def run(wrapper):
+        pipe = EditPipeline(wrapper)
+        xt, zs, xts, _, _ = pipe.prepare_real_image_edit(
+            img, eta=1.0, inversion_method="ddpm", key=jax.random.PRNGKey(8)
+        )
+        attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=5.0,
+                                   t1=0, t2=STEPS)
+        out = pipe.edit_image(xt, eta=1.0, zs=zs, xts=xts, attr_func=attr,
+                              inversion_method="ddpm", t_skip=1, collect=False)
+        return out.imgs
+
+    plain = run(ddpm)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    sharded = run(ddpm.to_mesh(mesh))
+    assert np.isfinite(np.asarray(sharded)).all()
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                               rtol=2e-4, atol=2e-5)
