@@ -13,7 +13,7 @@ avals, then reports from the partitioned HLO:
      axis is genuinely sharded, not all-gathered.
 
 Run: PALLAS_AXON_POOL_IPS= python scripts/multichip_seg_train.py
-Results recorded in PARITY.md (round 3); writes MULTICHIP_SEG_r03.json.
+Results recorded in PARITY.md (round 3); writes MULTICHIP_SEG_r04.json (r03 naming until round 4).
 """
 
 from __future__ import annotations
@@ -134,7 +134,7 @@ def main():
     report["batch_sharded"] = not bad
 
     print(json.dumps(report, indent=2))
-    with open("/root/repo/MULTICHIP_SEG_r03.json", "w") as f:
+    with open("/root/repo/MULTICHIP_SEG_r04.json", "w") as f:
         json.dump(report, f, indent=2)
     assert report["batch_sharded"], "global-batch conv operand leaked!"
     if "memory_per_device" in report:
