@@ -163,10 +163,11 @@ def cmd_seg_train(args):
         compute_dtype=args.compute_dtype,
     )
     if args.data_root:
-        ds = FaceMaskDataset(args.data_root, (args.image_size, args.image_size))
+        ds = FaceMaskDataset(args.data_root, (args.image_size, args.image_size),
+                             raw=args.raw_feed)
     else:
         print("WARNING: synthetic data (no --data-root)", file=sys.stderr)
-        ds = SyntheticFaceMask(size=args.image_size)
+        ds = SyntheticFaceMask(size=args.image_size, raw=args.raw_feed)
     import jax
 
     n_dev = len(jax.devices())
@@ -287,6 +288,9 @@ def main(argv=None):
     t.add_argument("--prefetch", type=int, default=2,
                    help="batches kept in flight by the background prefetch "
                         "thread (0 disables; host aug overlaps device steps)")
+    t.add_argument("--raw-feed", action="store_true",
+                   help="ship uint8 batches and ImageNet-normalize on device "
+                        "(4x fewer host->HBM bytes per step)")
     t.add_argument("--num-workers", type=int, default=2,
                    help="thread-pool workers loading items within a batch "
                         "(the reference's num_workers=8 DataLoader)")

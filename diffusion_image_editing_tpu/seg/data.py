@@ -132,14 +132,21 @@ def to_model_input(im) -> np.ndarray:
 
 
 class FaceMaskDataset:
-    """CelebAMask-HQ images + merged label maps (`face_dataset.py:19-59`)."""
+    """CelebAMask-HQ images + merged label maps (`face_dataset.py:19-59`).
 
-    def __init__(self, root: str, crop_size=(448, 448), mode: str = "train"):
+    raw=True emits (uint8 RGB, uint8 labels) and defers the ImageNet
+    normalization to the DEVICE (`train._prep_batch`): the host->HBM
+    transfer then carries 4x fewer bytes — identical arithmetic (labels are
+    0..18 + ignore 255, exactly uint8's range)."""
+
+    def __init__(self, root: str, crop_size=(448, 448), mode: str = "train",
+                 raw: bool = False):
         assert mode in ("train", "val", "test")
         self.root = root
         self.mode = mode
         self.crop_size = crop_size
         self.ignore_lb = 255
+        self.raw = raw
         self.imgs: List[str] = sorted(os.listdir(osp.join(root, "CelebA-HQ-img")))
 
     def __len__(self) -> int:
@@ -154,6 +161,9 @@ class FaceMaskDataset:
         lb = Image.open(osp.join(self.root, "mask", name[:-3] + "png")).convert("P")
         if self.mode == "train":
             im, lb = train_transform(im, lb, rng, self.crop_size)
+        if self.raw:
+            return (np.asarray(im.convert("RGB"), np.uint8),
+                    np.array(lb).astype(np.uint8))
         return to_model_input(im), np.array(lb).astype(np.int32)
 
 
@@ -284,14 +294,20 @@ class SyntheticFaceMask:
     """Random-data stand-in with the FaceMaskDataset interface (for tests and
     benchmarking without the CelebAMask-HQ download)."""
 
-    def __init__(self, n: int = 64, size: int = 64, n_classes: int = 19):
-        self.n, self.size, self.n_classes = n, size, n_classes
+    def __init__(self, n: int = 64, size: int = 64, n_classes: int = 19,
+                 raw: bool = False):
+        self.n, self.size, self.n_classes, self.raw = n, size, n_classes, raw
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, idx, rng=None):
         rng = rng or np.random.default_rng(idx)
+        if self.raw:  # uint8 feed (device-side normalize, train._prep_batch)
+            img = rng.integers(0, 256, (self.size, self.size, 3)).astype(np.uint8)
+            lab = rng.integers(0, self.n_classes,
+                               (self.size, self.size)).astype(np.uint8)
+            return img, lab
         img = rng.normal(size=(self.size, self.size, 3)).astype(np.float32)
         lab = rng.integers(0, self.n_classes, (self.size, self.size)).astype(np.int32)
         return img, lab

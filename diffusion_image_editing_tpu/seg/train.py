@@ -101,10 +101,29 @@ def create_train_state(cfg: TrainConfig, key: Array, axis_name: Optional[str] = 
     return model, state
 
 
+def _prep_batch(images: Array, labels: Array) -> Tuple[Array, Array]:
+    """Device-side feed decode: a uint8 batch (raw pixels + uint8 labels) is
+    ImageNet-normalized HERE instead of on the host, so the host->HBM
+    transfer carries 4x fewer bytes (38.5 -> 9.6 MB images + 12.8 -> 3.2 MB
+    labels per 448px batch-16 — the transfer IS the host-fed bottleneck on
+    this machine's relay). float input passes through untouched (host
+    normalization, `data.to_model_input`) — identical arithmetic either way
+    (uint8/255 - mean)/std in f32."""
+    from .data import IMAGENET_MEAN, IMAGENET_STD
+
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    else:
+        x = images
+    return x, labels.astype(jnp.int32)
+
+
 def make_train_step(model: BiSeNet, cfg: TrainConfig):
     """One SGD step: 3-head OHEM sum (`train.py:127-131`)."""
 
     def loss_fn(params, batch_stats, images, labels):
+        images, labels = _prep_batch(images, labels)
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],
@@ -136,6 +155,7 @@ def make_sharded_train_step(model: BiSeNet, cfg: TrainConfig, mesh: Mesh):
     replicated; batch and labels sharded on 'dp'."""
 
     def loss_fn(params, batch_stats, images, labels):
+        images, labels = _prep_batch(images, labels)
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],

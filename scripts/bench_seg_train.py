@@ -100,20 +100,22 @@ def main():
     state, _ = chained(step_fn, state, images, labels, 5)
 
     def make_feed(variant: str):
+        raw = variant.endswith("+u8")
+        ds = SyntheticFaceMask(n=64, size=SIZE, raw=raw)
         if variant == "plain":
-            it = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH)
+            it = batch_iterator(ds, BATCH)
             return it, lambda: shard_batch(next(it), mesh)
         if variant == "prefetch":
-            it = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH,
-                                prefetch=3, num_workers=2)
+            it = batch_iterator(ds, BATCH, prefetch=3, num_workers=2)
             return it, lambda: shard_batch(next(it), mesh)
-        # prefetch+xfer: device_put happens in the producer thread
-        base = batch_iterator(SyntheticFaceMask(n=64, size=SIZE), BATCH,
-                              num_workers=2)
+        # prefetch+xfer: device_put happens in the producer thread;
+        # +u8 additionally ships uint8 (4x fewer relay bytes, device-side
+        # ImageNet normalize inside the step — train._prep_batch)
+        base = batch_iterator(ds, BATCH, num_workers=2)
         it = PrefetchIterator((shard_batch(b, mesh) for b in base), size=3)
         return it, lambda: next(it)
 
-    for variant in ("plain", "prefetch", "prefetch+xfer"):
+    for variant in ("plain", "prefetch", "prefetch+xfer", "prefetch+xfer+u8"):
         it, feed = make_feed(variant)
         for _ in range(3):  # warm the feed path
             im, lb = feed()

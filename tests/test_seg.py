@@ -342,3 +342,44 @@ def test_bf16_compute_dtype_trains_and_tracks_f32():
         assert np.isfinite(seq).all() if hasattr(np, "isfinite") else True
     # same data, same init: bf16 compute should track f32 within bf16 noise
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.05)
+
+
+def test_uint8_feed_matches_float_feed():
+    """raw uint8 batches (device-side ImageNet normalize, `train._prep_batch`
+    — 4x fewer host->HBM bytes) must produce the same loss/updates as the
+    host-normalized float32 feed."""
+    from diffusion_image_editing_tpu.seg.data import IMAGENET_MEAN, IMAGENET_STD
+    from diffusion_image_editing_tpu.seg.train import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(image_size=32, batch_size_per_device=2, width=8,
+                      norm="bn", warmup_steps=2, max_iter=100)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    labels_u8 = rng.integers(0, cfg.n_classes, (2, 32, 32)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+
+    state_u8, loss_u8 = step(state, jnp.asarray(u8), jnp.asarray(labels_u8))
+    state_f32, loss_f32 = step(state, jnp.asarray(f32),
+                               jnp.asarray(labels_u8.astype(np.int32)))
+    np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-5)
+    a = jax.tree.leaves(state_u8.params)
+    b = jax.tree.leaves(state_f32.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_dataset_raw_uint8_mode():
+    from diffusion_image_editing_tpu.seg.data import SyntheticFaceMask
+
+    ds = SyntheticFaceMask(n=4, size=16, raw=True)
+    img, lab = ds[0]
+    assert img.dtype == np.uint8 and lab.dtype == np.uint8
+    assert img.shape == (16, 16, 3) and lab.shape == (16, 16)
