@@ -18,20 +18,44 @@ import argparse
 import sys
 
 
-def _build_wrapper(family: str, ckpt_dir, steps: int, clip_sample):
+def _parse_mesh(spec):
+    """--shard mesh spec: "cfg2xsp4" (CFG-pair x spatial), "sp8", "dp8"...
+    Axis sizes must multiply to <= len(jax.devices())."""
+    import re as _re
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    pairs = _re.findall(r"([a-z]+)(\d+)", spec)
+    if not pairs or "".join(f"{a}{n}" for a, n in pairs) != spec.replace("x", ""):
+        raise SystemExit(f"bad --shard spec {spec!r} (e.g. cfg2xsp4, sp8)")
+    names = tuple(a for a, _ in pairs)
+    sizes = tuple(int(n) for _, n in pairs)
+    total = int(np.prod(sizes))
+    devs = jax.devices()
+    if total > len(devs):
+        raise SystemExit(f"--shard {spec} needs {total} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:total]).reshape(sizes), names)
+
+
+def _build_wrapper(family: str, ckpt_dir, steps: int, clip_sample, shard=None):
     from .pipeline.factory import create_diffusion_model
 
-    return create_diffusion_model(
+    w = create_diffusion_model(
         family, sample_clipping=bool(clip_sample), checkpoint_dir=ckpt_dir,
         num_inference_steps=steps,
     )
+    if shard:
+        w = w.to_mesh(_parse_mesh(shard))
+    return w
 
 
 def cmd_generate(args):
     from .host.transforms import arrays_to_pils
 
     w = _build_wrapper(args.family, args.checkpoint_dir, args.steps,
-                       args.sample_clipping)
+                       args.sample_clipping, shard=args.shard)
     prompt_ids = None
     if args.prompt and getattr(w, "tokenizer", None):
         import jax.numpy as jnp
@@ -55,7 +79,8 @@ def cmd_edit(args):
     from .host.transforms import array_to_pil, pil_to_array
     from .pipeline import EditPipeline
 
-    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False)
+    w = _build_wrapper(args.family, args.checkpoint_dir, args.steps, False,
+                       shard=args.shard)
     seg_fn = None
     if args.classes or (args.align and not args.landmarks):
         from .pipeline.factory import create_segmentation_model
@@ -205,6 +230,10 @@ def main(argv=None):
         sp.add_argument("--checkpoint-dir", default=None)
         sp.add_argument("--steps", type=int, default=50)
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--shard", default=None, metavar="SPEC",
+                        help="single-image latency sharding over the local "
+                             "mesh, e.g. cfg2xsp4 (CFG pair x spatial) or "
+                             "sp8 (wrapper.to_mesh)")
 
     g = sub.add_parser("generate")
     common(g)
