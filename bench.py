@@ -388,6 +388,40 @@ def phase_sweep(tiny, models, grid=8, reps=2):
     return grid * STEPS / elapsed
 
 
+def phase_encprop(tiny, models, k=3, reps=3):
+    """Headline workload with encoder propagation at interval k (Faster
+    Diffusion, arXiv 2312.09608 — PAPERS.md): the UNet down-path runs every
+    k-th step only; cached down activations feed mid+up-only forwards in
+    between (~35-40% fewer UNet FLOPs/step). APPROXIMATE and opt-in — the
+    headline stays the exact loop; this extra records the accelerated rate
+    (output-quality validation pends real weights)."""
+    from diffusion_image_editing_tpu.engine.denoise import (
+        CfgEpsFeatClosure,
+        DecodeClosure,
+    )
+    from diffusion_image_editing_tpu.engine.edit import edit_split
+    from diffusion_image_editing_tpu.guidance import SingleColorAttrFunc
+
+    m = models
+    dtype = m["dtype"]
+    eps_fn = CfgEpsFeatClosure(m["unet"].apply, m["uparams"], m["text_emb"], 3.5)
+    vae_apply = m["vae"].apply
+    decode_fn = DecodeClosure(
+        lambda p, z: vae_apply(p, z.astype(dtype), method="decode"),
+        m["vparams"], scale=0.18215,
+    )
+    attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=20.0,
+                               t1=0, t2=STEPS)
+    sched, xt = m["sched"], m["xt"]
+
+    def run_pass(x):
+        return edit_split(sched, eps_fn, x, attr_func=attr, decode_fn=decode_fn,
+                          encoder_reuse=k).x0
+
+    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+    return STEPS / elapsed
+
+
 def phase_seg_train(tiny):
     """BiSeNet trainer ms/step at the reference recipe (448px, width 64,
     batch 16/device) with bf16 compute (VERDICT r3 item 4). Slope timing:
@@ -538,7 +572,8 @@ def main():
     # whatever completed, so the never-yet-recorded numbers (ldm, sweep,
     # train) come right after the standing headline/e2e records
     default_phases = (
-        "headline" if tiny else "headline,e2e,e2e_seg,ldm,sweep,train,batch,seg"
+        "headline" if tiny
+        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,batch,seg"
     )
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
@@ -558,6 +593,8 @@ def main():
         ms, img_s = phase_seg_train(tiny)
         extras["train_bf16_ms_step"] = round(ms, 2)
         extras["train_bf16_img_s"] = round(img_s, 1)
+    if "encprop" in phases:
+        extras["encprop_k3_steps_s"] = round(phase_encprop(tiny, models, k=3), 3)
     if "batch" in phases:
         for b in (2, 4):
             sps = phase_guided_edit(tiny, models, batch=b, reps=2)

@@ -1,5 +1,6 @@
 from .denoise import (  # noqa: F401
     CfgEpsClosure,
+    CfgEpsFeatClosure,
     DecodeClosure,
     EncodeClosure,
     EpsClosure,

@@ -109,6 +109,37 @@ def _split_guidance(af, sched, dec_fn, x, z, eps, t, idx, mask, x0_ref):
     return af.apply_batched(x, z, eps, t, idx, sched, dec_fn, mask=mask, x0=x0_ref)
 
 
+# Encoder-propagation step pair (Faster Diffusion, arXiv 2312.09608): the
+# key-step program also emits the UNet's down-path activations; the non-key
+# program consumes them and runs only mid+up (~35-40% fewer FLOPs).
+@functools.partial(jax.jit, static_argnames=("eta", "step_rule", "has_zs"))
+def _split_denoise_full(sched, eps_fn, x, t, zs, idx, eta, step_rule, has_zs):
+    step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
+    z = (
+        jax.lax.dynamic_index_in_dim(zs, idx, keepdims=False)
+        if has_zs
+        else jnp.zeros_like(x)
+    )
+    eps, feats = eps_fn.full(x, t)
+    eps = jax.lax.stop_gradient(eps)
+    feats = jax.lax.stop_gradient(feats)
+    x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
+    return x_new, eps, px0, z, feats
+
+
+@functools.partial(jax.jit, static_argnames=("eta", "step_rule", "has_zs"))
+def _split_denoise_reuse(sched, eps_fn, x, t, zs, idx, feats, eta, step_rule, has_zs):
+    step = S.reverse_step if step_rule == "ddpm" else S.ddim_step
+    z = (
+        jax.lax.dynamic_index_in_dim(zs, idx, keepdims=False)
+        if has_zs
+        else jnp.zeros_like(x)
+    )
+    eps = jax.lax.stop_gradient(eps_fn.reuse(x, t, feats))
+    x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
+    return x_new, eps, px0, z
+
+
 def edit_split(
     sched: S.Schedule,
     eps_fn: EpsFn,
@@ -121,6 +152,7 @@ def edit_split(
     x0_ref: Optional[Array] = None,
     step_rule: str = "ddim",
     collect: bool = False,
+    encoder_reuse: int = 1,
 ) -> EditResult:
     """`edit` with the scan unrolled into a host loop over two small jitted
     programs (denoise step / guidance nudge).
@@ -131,9 +163,18 @@ def edit_split(
     default; this split form remains for its compile time — seconds instead
     of ~2 minutes for the monolithic UNet+VAE-grad scan — the right trade
     for interactive one-off edits.
+
+    encoder_reuse=k>1 enables encoder propagation (Faster Diffusion,
+    arXiv 2312.09608): the UNet down-path runs only every k-th step; in
+    between, cached down activations feed a mid+up-only forward with the
+    current timestep embedding. APPROXIMATE (opt-in; k=1 is exact parity) —
+    requires an eps_fn with full/reuse (`CfgEpsFeatClosure`).
     """
     if eta > 0 and zs is None:
         raise ValueError("eta > 0 requires zs")
+    if encoder_reuse > 1 and not hasattr(eps_fn, "reuse"):
+        raise ValueError("encoder_reuse > 1 needs a feature-capable eps_fn "
+                         "(engine.denoise.CfgEpsFeatClosure)")
     n = zs.shape[0] if zs is not None else sched.num_inference_steps
     timesteps = sched.timesteps[-n:]
     if decode_fn is None:
@@ -146,11 +187,23 @@ def edit_split(
     ts_host = np.asarray(timesteps)
     has_zs = zs is not None
     zs_arr = zs if has_zs else jnp.zeros((1,) + xt.shape, xt.dtype)
+    feats = None
     for i, t in enumerate(ts_host):
-        x, eps, px0, z = _split_denoise(
-            sched, eps_fn, x, jnp.int32(t), zs_arr, jnp.int32(i),
-            eta=eta, step_rule=step_rule, has_zs=has_zs,
-        )
+        if encoder_reuse > 1 and i % encoder_reuse != 0:
+            x, eps, px0, z = _split_denoise_reuse(
+                sched, eps_fn, x, jnp.int32(t), zs_arr, jnp.int32(i), feats,
+                eta=eta, step_rule=step_rule, has_zs=has_zs,
+            )
+        elif encoder_reuse > 1:
+            x, eps, px0, z, feats = _split_denoise_full(
+                sched, eps_fn, x, jnp.int32(t), zs_arr, jnp.int32(i),
+                eta=eta, step_rule=step_rule, has_zs=has_zs,
+            )
+        else:
+            x, eps, px0, z = _split_denoise(
+                sched, eps_fn, x, jnp.int32(t), zs_arr, jnp.int32(i),
+                eta=eta, step_rule=step_rule, has_zs=has_zs,
+            )
         if attr_func is not None:
             x, z = _split_guidance(
                 attr_func, sched, decode_fn, x, z, eps, jnp.int32(t), jnp.int32(i),

@@ -161,8 +161,25 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, sample: Array, timesteps: Array, context: Array) -> Array:
-        """sample: (B, H, W, C_lat); context: (B, L, cross_attention_dim)."""
+    def __call__(
+        self,
+        sample: Array,
+        timesteps: Array,
+        context: Array,
+        encoder_features=None,
+        return_encoder_features: bool = False,
+    ) -> Array:
+        """sample: (B, H, W, C_lat); context: (B, L, cross_attention_dim).
+
+        Encoder propagation (Faster Diffusion, arXiv 2312.09608 — retrieved
+        in PAPERS.md): the down-path activations change little between
+        adjacent denoising steps, so a cached `encoder_features` dict (from a
+        `return_encoder_features=True` call at a key step) lets non-key steps
+        skip conv_in + every down block and recompute only mid + up with the
+        CURRENT timestep embedding — ~35-40%% of the per-step FLOPs. This is
+        an APPROXIMATION (opt-in; `engine.denoise` key-step schedules);
+        injecting features from the SAME (sample, t) reproduces the full
+        forward exactly (tested)."""
         cfg = self.config
         heads = cfg.attention_head_dim
         if timesteps.ndim == 0:
@@ -174,29 +191,36 @@ class UNet2DCondition(nn.Module):
         temb = TimeEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
         context = context.astype(self.dtype)
 
-        h = Conv3x3(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(
-            sample.astype(self.dtype)
-        )
+        if encoder_features is not None:
+            h = encoder_features["h"]
+            skips = list(encoder_features["skips"])
+            out_ch = cfg.block_out_channels[-1]
+        else:
+            h = Conv3x3(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(
+                sample.astype(self.dtype)
+            )
 
-        skips = [h]
-        out_ch = cfg.block_out_channels[0]
-        for i, block_type in enumerate(cfg.down_block_types):
-            out_ch = cfg.block_out_channels[i]
-            is_final = i == len(cfg.down_block_types) - 1
-            with_xattn = block_type == "CrossAttnDownBlock2D"
-            for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(
-                    out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
-                    name=f"down_{i}_resnet_{j}",
-                )(h, temb)
-                if with_xattn:
-                    h = Transformer2D(
-                        heads, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_attn_{j}"
-                    )(h, context)
-                skips.append(h)
-            if not is_final:
-                h = Downsample2D(out_ch, padding=1, dtype=self.dtype, name=f"down_{i}_downsample")(h)
-                skips.append(h)
+            skips = [h]
+            out_ch = cfg.block_out_channels[0]
+            for i, block_type in enumerate(cfg.down_block_types):
+                out_ch = cfg.block_out_channels[i]
+                is_final = i == len(cfg.down_block_types) - 1
+                with_xattn = block_type == "CrossAttnDownBlock2D"
+                for j in range(cfg.layers_per_block):
+                    h = ResnetBlock2D(
+                        out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
+                        name=f"down_{i}_resnet_{j}",
+                    )(h, temb)
+                    if with_xattn:
+                        h = Transformer2D(
+                            heads, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_attn_{j}"
+                        )(h, context)
+                    skips.append(h)
+                if not is_final:
+                    h = Downsample2D(out_ch, padding=1, dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                    skips.append(h)
+
+        feats_out = {"h": h, "skips": tuple(skips)} if return_encoder_features else None
 
         h = ResnetBlock2D(
             out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype, name="mid_resnet_0"
@@ -227,4 +251,7 @@ class UNet2DCondition(nn.Module):
 
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
         h = Conv3x3(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if return_encoder_features:
+            return out, feats_out
+        return out

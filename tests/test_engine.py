@@ -378,3 +378,49 @@ def test_apply_batched_swept_attr_leaves():
     d1 = float(jnp.sum(jnp.abs(xb[1] - xt[1])))
     d2 = float(jnp.sum(jnp.abs(xb[2] - xt[2])))
     assert d2 > d1 > 0.0
+
+
+def test_encoder_propagation_exact_and_approximate():
+    """Encoder propagation (Faster Diffusion, arXiv 2312.09608):
+    (a) reuse() fed the SAME step's features == the plain CFG forward
+    exactly; (b) edit_split(encoder_reuse=1) with the feature closure ==
+    the plain closure exactly; (c) k=2 runs, differs (approximation),
+    stays finite."""
+    from diffusion_image_editing_tpu.engine.denoise import (
+        CfgEpsClosure,
+        CfgEpsFeatClosure,
+    )
+    from diffusion_image_editing_tpu.engine.edit import edit_split
+    from diffusion_image_editing_tpu.models import UNet2DCondition
+    from diffusion_image_editing_tpu.models.unet2d_cond import UNet2DConditionConfig
+
+    cfg = UNet2DConditionConfig(
+        sample_size=16, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=2, cross_attention_dim=16,
+        norm_num_groups=8,
+    )
+    unet = UNet2DCondition(cfg)
+    k = jax.random.PRNGKey(0)
+    params = unet.init(k, jnp.zeros((1, 16, 16, 4)), jnp.int32(0),
+                       jnp.zeros((1, 7, 16)))
+    text = jax.random.normal(jax.random.fold_in(k, 1), (2, 7, 16))
+    plain = CfgEpsClosure(unet.apply, params, text, 2.0)
+    feat = CfgEpsFeatClosure(unet.apply, params, text, 2.0)
+    x = jax.random.normal(jax.random.fold_in(k, 2), (1, 16, 16, 4))
+    t = jnp.int32(401)
+
+    eps_full, feats = jax.jit(lambda f, x_, t_: f.full(x_, t_))(feat, x, t)
+    eps_plain = jax.jit(lambda f, x_, t_: f(x_, t_))(plain, x, t)
+    np.testing.assert_array_equal(np.asarray(eps_full), np.asarray(eps_plain))
+    eps_reuse = jax.jit(lambda f, x_, t_, fe: f.reuse(x_, t_, fe))(feat, x, t, feats)
+    np.testing.assert_array_equal(np.asarray(eps_reuse), np.asarray(eps_plain))
+
+    sched = make_schedule(num_inference_steps=4, clip_sample=False)
+    base = edit_split(sched, plain, x).x0
+    k1 = edit_split(sched, feat, x, encoder_reuse=1).x0
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(k1))
+    k2 = edit_split(sched, feat, x, encoder_reuse=2).x0
+    assert np.isfinite(np.asarray(k2)).all()
+    assert not np.array_equal(np.asarray(k2), np.asarray(base))
