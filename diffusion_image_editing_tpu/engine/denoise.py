@@ -37,6 +37,22 @@ class EpsClosure(struct.PyTreeNode):
         return self.apply_fn(self.params, x, t)
 
 
+class EpsFeatClosure(struct.PyTreeNode):
+    """`EpsClosure` with encoder propagation (see `CfgEpsFeatClosure`)."""
+
+    apply_fn: Callable = struct.field(pytree_node=False)
+    params: Any = None
+
+    def full(self, x: Array, t: Array):
+        return self.apply_fn(self.params, x, t, return_encoder_features=True)
+
+    def reuse(self, x: Array, t: Array, feats) -> Array:
+        return self.apply_fn(self.params, x, t, encoder_features=feats)
+
+    def __call__(self, x: Array, t: Array) -> Array:
+        return self.apply_fn(self.params, x, t)
+
+
 class CfgEpsClosure(struct.PyTreeNode):
     """Classifier-free-guidance denoiser (pytree callable).
 

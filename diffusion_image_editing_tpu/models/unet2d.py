@@ -109,8 +109,18 @@ class UNet2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, sample: Array, timesteps: Array) -> Array:
-        """sample: (B, H, W, C_in) NHWC; timesteps: () or (B,) int32."""
+    def __call__(
+        self,
+        sample: Array,
+        timesteps: Array,
+        encoder_features=None,
+        return_encoder_features: bool = False,
+    ) -> Array:
+        """sample: (B, H, W, C_in) NHWC; timesteps: () or (B,) int32.
+
+        `encoder_features` / `return_encoder_features`: encoder propagation
+        (Faster Diffusion, arXiv 2312.09608) — see `UNet2DCondition` for the
+        contract; opt-in, exact when features come from the same (x, t)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -122,40 +132,47 @@ class UNet2D(nn.Module):
             t_emb
         )
 
-        h = Conv3x3(
-            cfg.block_out_channels[0], dtype=self.dtype, name="conv_in"
-        )(sample.astype(self.dtype))
+        if encoder_features is not None:
+            h = encoder_features["h"]
+            skips = list(encoder_features["skips"])
+            out_ch = cfg.block_out_channels[-1]
+        else:
+            h = Conv3x3(
+                cfg.block_out_channels[0], dtype=self.dtype, name="conv_in"
+            )(sample.astype(self.dtype))
 
-        # --- down path ---
-        skips = [h]
-        out_ch = cfg.block_out_channels[0]
-        for i, block_type in enumerate(cfg.down_block_types):
-            out_ch = cfg.block_out_channels[i]
-            is_final = i == len(cfg.down_block_types) - 1
-            with_attn = block_type == "AttnDownBlock2D"
-            for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(
-                    out_ch,
-                    cfg.norm_num_groups,
-                    cfg.norm_eps,
-                    cfg.dropout,
-                    dtype=self.dtype,
-                    name=f"down_{i}_resnet_{j}",
-                )(h, temb)
-                if with_attn:
-                    h = AttentionBlock2D(
-                        cfg.attention_head_dim,
+            # --- down path ---
+            skips = [h]
+            out_ch = cfg.block_out_channels[0]
+            for i, block_type in enumerate(cfg.down_block_types):
+                out_ch = cfg.block_out_channels[i]
+                is_final = i == len(cfg.down_block_types) - 1
+                with_attn = block_type == "AttnDownBlock2D"
+                for j in range(cfg.layers_per_block):
+                    h = ResnetBlock2D(
+                        out_ch,
                         cfg.norm_num_groups,
                         cfg.norm_eps,
+                        cfg.dropout,
                         dtype=self.dtype,
-                        name=f"down_{i}_attn_{j}",
+                        name=f"down_{i}_resnet_{j}",
+                    )(h, temb)
+                    if with_attn:
+                        h = AttentionBlock2D(
+                            cfg.attention_head_dim,
+                            cfg.norm_num_groups,
+                            cfg.norm_eps,
+                            dtype=self.dtype,
+                            name=f"down_{i}_attn_{j}",
+                        )(h)
+                    skips.append(h)
+                if not is_final:
+                    h = Downsample2D(
+                        out_ch, cfg.downsample_padding, dtype=self.dtype, name=f"down_{i}_downsample"
                     )(h)
-                skips.append(h)
-            if not is_final:
-                h = Downsample2D(
-                    out_ch, cfg.downsample_padding, dtype=self.dtype, name=f"down_{i}_downsample"
-                )(h)
-                skips.append(h)
+                    skips.append(h)
+
+        feats_out = {"h": h, "skips": tuple(skips)} if return_encoder_features else None
 
         # --- mid ---
         h = ResnetBlock2D(
@@ -202,4 +219,7 @@ class UNet2D(nn.Module):
 
         h = GroupNormLayer(cfg.norm_num_groups, cfg.norm_eps, act="silu", name="conv_norm_out")(h)
         h = Conv3x3(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if return_encoder_features:
+            return out, feats_out
+        return out

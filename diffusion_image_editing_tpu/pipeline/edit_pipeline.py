@@ -250,6 +250,7 @@ class EditPipeline:
         collect: bool = True,
         mode: str = "fused",
         decode_remat: str = "auto",
+        encoder_reuse: int = 1,
     ) -> EditorOutput:
         """Guided denoise of (possibly edited) noise maps
         (`SegDiffEditPipeline.py:202-302`).
@@ -281,7 +282,9 @@ class EditPipeline:
         w = self.diffusion_wrapper
         sched = w.schedule
         text_emb = w.prep_text(prompt_ids)
-        eps_fn = w.eps_fn(text_emb, cfg_scale)
+        if encoder_reuse > 1 and mode != "split":
+            raise ValueError("encoder_reuse > 1 requires mode='split'")
+        eps_fn = w.eps_fn(text_emb, cfg_scale, features=encoder_reuse > 1)
         step_rule = "ddpm" if (inversion_method == "ddpm" and t_skip is not None) else "ddim"
 
         if decode_remat not in ("auto", "blocks", "none"):
@@ -294,6 +297,7 @@ class EditPipeline:
                 sched, eps_fn, xt, eta=eta, zs=zs, attr_func=attr_func,
                 decode_fn=dec_fn, mask=mask, x0_ref=x0_ref,
                 step_rule=step_rule, collect=collect,
+                encoder_reuse=encoder_reuse,
             )
         else:
             result = _jit_edit(

@@ -110,7 +110,20 @@ class DiffusionWrapper:
         `src/diffusion_utils.py:136-138` / `diffusion_classes.py:43-44`."""
         return None
 
-    def eps_fn(self, text_emb: Optional[Array] = None, cfg_scale: float = 3.5) -> EpsFn:
+    def eps_fn(self, text_emb: Optional[Array] = None, cfg_scale: float = 3.5,
+               features: bool = False) -> EpsFn:
+        """features=True returns the encoder-propagation closure (full/reuse
+        pair — Faster Diffusion, arXiv 2312.09608; `edit_image`'s
+        encoder_reuse). Not combined with a mesh (approximation + sharding
+        stay orthogonal until measured together)."""
+        if features:
+            if self._mesh is not None:
+                raise ValueError("encoder propagation + to_mesh not supported")
+            if text_emb is None:
+                return D.EpsFeatClosure(self._unet_apply, self.unet_params)
+            return D.CfgEpsFeatClosure(
+                self._unet_apply, self.unet_params, text_emb, cfg_scale
+            )
         if self._mesh is not None:
             from ..parallel.edit_shard import (
                 ShardedEpsClosure,

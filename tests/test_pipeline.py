@@ -453,3 +453,23 @@ def test_prepare_for_edit_fused_matches_unfused():
     np.testing.assert_array_equal(np.asarray(par_f), np.asarray(par_u))
     np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask_u))
     np.testing.assert_allclose(np.asarray(lat_f), np.asarray(lat_u), rtol=1e-6, atol=1e-6)
+
+
+def test_edit_image_encoder_reuse_ddpm():
+    """Pipeline-level encoder propagation (uncond DDPM): k=1 == baseline
+    exactly; k=2 runs, differs, stays finite."""
+    w = make_ddpm()
+    pipe = EditPipeline(w)
+    xt = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 16, 3))
+    attr = SingleColorAttrFunc(target=1.0, color_idx=0, loss_scale=10.0,
+                               t1=0, t2=STEPS)
+    base = pipe.edit_image(xt, attr_func=attr, mode="split", collect=False)
+    k1 = pipe.edit_image(xt, attr_func=attr, mode="split", collect=False,
+                         encoder_reuse=1)
+    np.testing.assert_array_equal(np.asarray(base.imgs), np.asarray(k1.imgs))
+    k2 = pipe.edit_image(xt, attr_func=attr, mode="split", collect=False,
+                         encoder_reuse=2)
+    assert np.isfinite(np.asarray(k2.imgs)).all()
+    assert not np.array_equal(np.asarray(k2.imgs), np.asarray(base.imgs))
+    with pytest.raises(ValueError):
+        pipe.edit_image(xt, attr_func=attr, mode="fused", encoder_reuse=2)
