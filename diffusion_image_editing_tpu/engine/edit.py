@@ -42,6 +42,7 @@ def edit(
     x0_ref: Optional[Array] = None,
     step_rule: str = "ddim",
     collect: bool = False,
+    encoder_reuse: int = 1,
 ) -> EditResult:
     """Run the guided denoising loop over the last len(zs) (or all) timesteps.
 
@@ -54,9 +55,17 @@ def edit(
       space, VAE/VQ decode for SD/LDM).
     * Fixes the reference's unbound `pred_original_sample` NameError in the
       ddpm branch (SegDiffEditPipeline.py:298) by always computing pred-x0.
+    * encoder_reuse=k>1: encoder propagation inside the ONE scan (Faster
+      Diffusion, arXiv 2312.09608) — a `lax.cond` on the step index runs
+      the full UNet on key steps and the cached-down-path mid+up-only
+      forward in between; the down activations ride the scan carry.
+      Opt-in approximation; k=1 is exact parity.
     """
     if eta > 0 and zs is None:
         raise ValueError("eta > 0 requires zs")
+    if encoder_reuse > 1 and not hasattr(eps_fn, "reuse"):
+        raise ValueError("encoder_reuse > 1 needs a feature-capable eps_fn "
+                         "(engine.denoise.CfgEpsFeatClosure/EpsFeatClosure)")
     n = zs.shape[0] if zs is not None else sched.num_inference_steps
     timesteps = sched.timesteps[-n:]
     zs_in = zs if zs is not None else jnp.zeros((n,) + xt.shape, xt.dtype)
@@ -64,19 +73,45 @@ def edit(
     if decode_fn is None:
         decode_fn = DecodeClosure()  # identity: pixel-space (DDPM) codec
 
-    def body(x, inputs):
+    def denoise(x, t, idx, feats):
+        if encoder_reuse <= 1:
+            return eps_fn(x, t), feats
+
+        def full_branch(op):
+            x_, t_ = op
+            return eps_fn.full(x_, t_)
+
+        def reuse_branch(op):
+            x_, t_ = op
+            return eps_fn.reuse(x_, t_, feats), feats
+
+        return jax.lax.cond(
+            idx % encoder_reuse == 0, full_branch, reuse_branch, (x, t)
+        )
+
+    def body(carry, inputs):
+        x, feats = carry
         idx, t, z = inputs
-        eps = jax.lax.stop_gradient(eps_fn(x, t))
+        eps, feats = jax.lax.stop_gradient(denoise(x, t, idx, feats))
         x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
         if attr_func is not None:
             x_new, z = attr_func.apply_batched(
                 x_new, z, eps, t, idx, sched, decode_fn, mask=mask, x0=x0_ref
             )
         ys = (x_new, eps, px0) if collect else None
-        return x_new, ys
+        return (x_new, feats), ys
+
+    if encoder_reuse > 1:
+        feats_shape = jax.eval_shape(
+            lambda x_, t_: eps_fn.full(x_, t_)[1], xt, timesteps[0]
+        )
+        # zeros placeholder: step 0 takes the full branch, so it's never read
+        feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feats_shape)
+    else:
+        feats0 = ()
 
     idxs = jnp.arange(n)
-    x_final, ys = jax.lax.scan(body, xt, (idxs, timesteps, zs_in))
+    (x_final, _), ys = jax.lax.scan(body, (xt, feats0), (idxs, timesteps, zs_in))
     if collect:
         return EditResult(x_final, xts=ys[0], model_outputs=ys[1], pred_original_samples=ys[2])
     return EditResult(x_final)

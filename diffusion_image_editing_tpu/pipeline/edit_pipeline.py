@@ -42,13 +42,16 @@ def _jit_ddpm_invert(sched, eps_fn, x, key, eta):
     return I.ddpm_invert(sched, eps_fn, x, eta=eta, key=key)
 
 
-@functools.partial(jax.jit, static_argnames=("eta", "step_rule", "collect", "has_zs"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("eta", "step_rule", "collect", "has_zs", "encoder_reuse"),
+)
 def _jit_edit(sched, eps_fn, decode_fn, xt, zs, attr_func, mask, x0_ref,
-              eta, step_rule, collect, has_zs):
+              eta, step_rule, collect, has_zs, encoder_reuse=1):
     return run_edit(
         sched, eps_fn, xt, eta=eta, zs=zs if has_zs else None, attr_func=attr_func,
         decode_fn=decode_fn, mask=mask, x0_ref=x0_ref, step_rule=step_rule,
-        collect=collect,
+        collect=collect, encoder_reuse=encoder_reuse,
     )
 
 
@@ -282,8 +285,6 @@ class EditPipeline:
         w = self.diffusion_wrapper
         sched = w.schedule
         text_emb = w.prep_text(prompt_ids)
-        if encoder_reuse > 1 and mode != "split":
-            raise ValueError("encoder_reuse > 1 requires mode='split'")
         eps_fn = w.eps_fn(text_emb, cfg_scale, features=encoder_reuse > 1)
         step_rule = "ddpm" if (inversion_method == "ddpm" and t_skip is not None) else "ddim"
 
@@ -305,6 +306,7 @@ class EditPipeline:
                 zs if zs is not None else jnp.zeros((0,) + xt.shape, xt.dtype),
                 attr_func, mask, x0_ref,
                 eta=eta, step_rule=step_rule, collect=collect, has_zs=zs is not None,
+                encoder_reuse=encoder_reuse,
             )
 
         imgs = w.decode(result.x0)

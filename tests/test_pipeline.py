@@ -471,5 +471,8 @@ def test_edit_image_encoder_reuse_ddpm():
                          encoder_reuse=2)
     assert np.isfinite(np.asarray(k2.imgs)).all()
     assert not np.array_equal(np.asarray(k2.imgs), np.asarray(base.imgs))
-    with pytest.raises(ValueError):
-        pipe.edit_image(xt, attr_func=attr, mode="fused", encoder_reuse=2)
+    # the fused one-scan form (lax.cond key steps) must match the split loop
+    k2f = pipe.edit_image(xt, attr_func=attr, mode="fused", collect=False,
+                          encoder_reuse=2)
+    np.testing.assert_allclose(np.asarray(k2f.imgs), np.asarray(k2.imgs),
+                               rtol=2e-5, atol=2e-6)
