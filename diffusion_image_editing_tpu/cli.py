@@ -64,6 +64,7 @@ def cmd_generate(args):
     imgs, *_ = w.generate_images(
         num_images=args.num_images, eta=args.eta, num_inference_steps=args.steps,
         seed=args.seed, prompt_ids=prompt_ids, cfg_scale=args.cfg_scale,
+        encoder_reuse=args.encoder_reuse,
     )
     for i, pil in enumerate(arrays_to_pils(imgs)):
         path = f"{args.out_prefix}_{i}.png"
@@ -131,6 +132,7 @@ def cmd_edit(args):
         resynthesize=args.resynthesize,
         key=jax.random.PRNGKey(args.seed),
         mode=args.edit_mode,
+        encoder_reuse=args.encoder_reuse,
     )
     array_to_pil(np.asarray(out.imgs)).save(args.out)
     print(args.out)
@@ -230,6 +232,10 @@ def main(argv=None):
         sp.add_argument("--checkpoint-dir", default=None)
         sp.add_argument("--steps", type=int, default=50)
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--encoder-reuse", type=int, default=1,
+                        help="encoder propagation interval k (Faster "
+                             "Diffusion, arXiv 2312.09608): run the UNet "
+                             "down-path every k-th step only; 1 = exact")
         sp.add_argument("--shard", default=None, metavar="SPEC",
                         help="single-image latency sharding over the local "
                              "mesh, e.g. cfg2xsp4 (CFG pair x spatial) or "

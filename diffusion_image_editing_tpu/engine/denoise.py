@@ -176,6 +176,7 @@ def generate(
     num_steps: Optional[int] = None,
     step_rule: str = "ddim",
     collect: bool = False,
+    encoder_reuse: int = 1,
 ) -> Trajectory:
     """Run the denoising loop x_T -> x_0.
 
@@ -185,9 +186,13 @@ def generate(
     (`src/diffusion_utils.py:112-133`).
 
     zs: (S', B, H, W, C) per-step variance noise, required when eta > 0.
+    encoder_reuse=k>1: encoder propagation (see `engine.edit.edit`) — needs
+    a feature-capable eps_fn; opt-in approximation, k=1 exact.
     """
     if eta > 0 and zs is None:
         raise ValueError("eta > 0 requires zs")
+    if encoder_reuse > 1 and not hasattr(eps_fn, "reuse"):
+        raise ValueError("encoder_reuse > 1 needs a feature-capable eps_fn")
     n = num_steps if num_steps is not None else (
         zs.shape[0] if zs is not None else sched.num_inference_steps
     )
@@ -198,14 +203,32 @@ def generate(
         zs_in = zs[-n:]
     step = S.ddim_step if step_rule == "ddim" else S.reverse_step
 
-    def body(x, inputs):
-        t, z = inputs
-        eps = eps_fn(x, t)
+    def body(carry, inputs):
+        x, feats = carry
+        idx, t, z = inputs
+        if encoder_reuse > 1:
+            eps, feats = jax.lax.cond(
+                idx % encoder_reuse == 0,
+                lambda op: eps_fn.full(*op),
+                lambda op: (eps_fn.reuse(*op, feats), feats),
+                (x, t),
+            )
+        else:
+            eps = eps_fn(x, t)
         x_new, px0 = step(sched, x, eps, t, eta=eta, noise=z if eta > 0 else None)
         ys = (x_new, eps, px0) if collect else None
-        return x_new, ys
+        return (x_new, feats), ys
 
-    x_final, ys = jax.lax.scan(body, xt, (timesteps, zs_in))
+    if encoder_reuse > 1:
+        feats_shape = jax.eval_shape(
+            lambda x_, t_: eps_fn.full(x_, t_)[1], xt, timesteps[0]
+        )
+        feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feats_shape)
+    else:
+        feats0 = ()
+    (x_final, _), ys = jax.lax.scan(
+        body, (xt, feats0), (jnp.arange(n), timesteps, zs_in)
+    )
     if collect:
         return Trajectory(x_final, xts=ys[0], model_outputs=ys[1], pred_original_samples=ys[2])
     return Trajectory(x_final)

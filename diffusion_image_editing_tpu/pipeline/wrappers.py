@@ -169,6 +169,7 @@ class DiffusionWrapper:
         cfg_scale: float = 3.5,
         collect: bool = False,
         mode: str = "fused",
+        encoder_reuse: int = 1,
     ) -> Tuple[Array, D.Trajectory]:
         """One denoising run; returns (decoded image NHWC [-1,1], Trajectory).
         `src/base_diffusion.py:49-97` parity.
@@ -179,10 +180,13 @@ class DiffusionWrapper:
         21.51 vs split 22.47 ms/step on the SD 512px CFG loop, PARITY.md).
         mode="split" host-loops one jitted step per timestep; it compiles in
         seconds instead of minutes — the right trade for interactive
-        one-off runs."""
+        one-off runs.
+
+        encoder_reuse=k>1: encoder propagation (Faster Diffusion,
+        arXiv 2312.09608; opt-in approximation — k=1 exact)."""
         sched = self._sched_for(num_inference_steps)
         text_emb = self.prep_text(prompt_ids)
-        eps_fn = self.eps_fn(text_emb, cfg_scale)
+        eps_fn = self.eps_fn(text_emb, cfg_scale, features=encoder_reuse > 1)
         dec_fn = self.decode_fn()
 
         if mode == "split":
@@ -190,7 +194,7 @@ class DiffusionWrapper:
 
             res = edit_split(
                 sched, eps_fn, xt, eta=eta, zs=zs, attr_func=None,
-                step_rule="ddim", collect=collect,
+                step_rule="ddim", collect=collect, encoder_reuse=encoder_reuse,
             )
             traj = D.Trajectory(
                 res.x0, xts=res.xts, model_outputs=res.model_outputs,
@@ -204,10 +208,11 @@ class DiffusionWrapper:
         # steps_offset, ...) live in the treedef, so swapping the wrapper's
         # schedule (e.g. with_clip_sample(False)) recompiles instead of
         # silently reusing a stale compilation.
-        key = ("gen", eta, zs is not None, collect)
+        key = ("gen", eta, zs is not None, collect, encoder_reuse)
         if key not in self._jit_cache:
             def run(sched_, eps_fn_, dec_fn_, xt_, zs_):
-                traj = D.generate(sched_, eps_fn_, xt_, eta=eta, zs=zs_, collect=collect)
+                traj = D.generate(sched_, eps_fn_, xt_, eta=eta, zs=zs_,
+                                  collect=collect, encoder_reuse=encoder_reuse)
                 return dec_fn_(traj.x0), traj
 
             self._jit_cache[key] = jax.jit(run)
@@ -222,6 +227,7 @@ class DiffusionWrapper:
         prompt_ids: Optional[Array] = None,
         cfg_scale: float = 3.5,
         collect: bool = False,
+        encoder_reuse: int = 1,
     ):
         """Multi-sample driver (`src/base_diffusion.py:99-148`) — one batched
         call instead of the reference's serial per-image loop."""
@@ -232,6 +238,7 @@ class DiffusionWrapper:
         img, traj = self.generate_image(
             xt, eta=eta, zs=zs, num_inference_steps=num_inference_steps,
             prompt_ids=prompt_ids, cfg_scale=cfg_scale, collect=collect,
+            encoder_reuse=encoder_reuse,
         )
         return img, traj, xt, zs
 
