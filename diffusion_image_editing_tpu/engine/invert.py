@@ -34,14 +34,28 @@ def ddim_invert(
     eps_fn: EpsFn,
     x0: Array,
     num_steps: Optional[int] = None,
+    refine_iters: int = 0,
 ) -> Array:
-    """x_T <- x_0 via DDIM inversion (`src/ddim_inversion.py:52-75`)."""
+    """x_T <- x_0 via DDIM inversion (`src/ddim_inversion.py:52-75`).
+
+    refine_iters=m>0: fixed-point refinement toward EXACT inversion. The
+    generate-direction step uses eps(x_t, t), but the standard inversion
+    approximates it with eps(x_{t-1}, t); iterating
+    eps <- eps_fn(x_t_est, t); x_t_est <- next_step(x_{t-1}, eps, t)
+    converges to the x_t whose forward DDIM step reproduces x_{t-1} exactly
+    (`core.schedule.next_step` is the algebraic inverse of `ddim_step` at
+    equal eps). m extra UNet calls per step; measurably higher roundtrip
+    PSNR (tests)."""
     n = num_steps or sched.num_inference_steps
     timesteps = sched.timesteps[-n:][::-1]  # ascending
 
     def body(x, t):
         eps = eps_fn(x, t)
-        return S.next_step(sched, x, eps, t), None
+        x_next = S.next_step(sched, x, eps, t)
+        for _ in range(refine_iters):
+            eps = eps_fn(x_next, t)
+            x_next = S.next_step(sched, x, eps, t)
+        return x_next, None
 
     xT, _ = jax.lax.scan(body, x0, timesteps)
     return xT
@@ -174,21 +188,27 @@ def ddpm_sample(
 import numpy as _np
 
 
-@jax.jit
-def _ddim_invert_step(sched, eps_fn, x, t):
+@functools.partial(jax.jit, static_argnames=("refine_iters",))
+def _ddim_invert_step(sched, eps_fn, x, t, refine_iters=0):
     eps = eps_fn(x, t)
-    return S.next_step(sched, x, eps, t)
+    x_next = S.next_step(sched, x, eps, t)
+    for _ in range(refine_iters):  # fixed-point exactness (see ddim_invert)
+        eps = eps_fn(x_next, t)
+        x_next = S.next_step(sched, x, eps, t)
+    return x_next
 
 
 def ddim_invert_split(
-    sched: S.Schedule, eps_fn: EpsFn, x0: Array, num_steps: Optional[int] = None
+    sched: S.Schedule, eps_fn: EpsFn, x0: Array, num_steps: Optional[int] = None,
+    refine_iters: int = 0,
 ) -> Array:
     """`ddim_invert` as a host loop over one jitted step (identical math)."""
     n = num_steps or sched.num_inference_steps
     ts = _np.asarray(sched.timesteps[-n:][::-1])  # ascending
     x = x0
     for t in ts:
-        x = _ddim_invert_step(sched, eps_fn, x, jnp.int32(t))
+        x = _ddim_invert_step(sched, eps_fn, x, jnp.int32(t),
+                              refine_iters=refine_iters)
     return x
 
 

@@ -27,14 +27,19 @@ from ..engine.edit import edit as run_edit
 from ..engine.edit import edit_split as run_edit_split
 from ..engine import invert as I
 
+from ..guidance.attr_functions import AttrFunc
+from ..utils.constants import ATTRS
+from .masks import MaskCreator, apply_mask
+from .wrappers import DDPM, LDM, SD, DiffusionWrapper
+
 
 # Module-level jitted entry points: the schedule, denoiser closure, codec
 # closure and attr_func are all pytrees passed as ARGUMENTS (weights as traced
 # inputs, not captured constants), and function identity is stable so the jit
 # cache works across pipeline calls.
-@jax.jit
-def _jit_ddim_invert(sched, eps_fn, x):
-    return I.ddim_invert(sched, eps_fn, x)
+@functools.partial(jax.jit, static_argnames=("refine_iters",))
+def _jit_ddim_invert(sched, eps_fn, x, refine_iters=0):
+    return I.ddim_invert(sched, eps_fn, x, refine_iters=refine_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("eta",))
@@ -68,10 +73,6 @@ def _jit_prepare_for_edit(seg_closure, encode_fn, img, classes, dilate_mask, dim
     mask = creator.create_mask(parsing, classes)
     latent = encode_fn(img)
     return latent, mask, parsing
-from ..guidance.attr_functions import AttrFunc
-from ..utils.constants import ATTRS
-from .masks import MaskCreator, apply_mask
-from .wrappers import DDPM, LDM, SD, DiffusionWrapper
 
 Array = jax.Array
 
@@ -176,8 +177,14 @@ class EditPipeline:
         cfg_scale: float = 3.5,
         key: Optional[Array] = None,
         mode: Optional[str] = None,
+        refine_iters: int = 0,
     ):
         """Invert a real image for editing (`SegDiffEditPipeline.py:152-200`).
+
+        refine_iters=m>0 (DDIM only): m fixed-point refinements per
+        inversion step toward the EXACT inverse (see `engine.invert.
+        ddim_invert`) — m extra UNet calls/step for measurably higher
+        roundtrip fidelity.
 
         mode=None picks the measured-fastest form per method (round-3
         interleaved A/Bs, PARITY.md): "batched" for DDPM (timestep-parallel
@@ -205,9 +212,11 @@ class EditPipeline:
 
         if inversion_method == "ddim":
             if mode == "split":
-                xt = I.ddim_invert_split(sched, eps_fn, latent)
+                xt = I.ddim_invert_split(sched, eps_fn, latent,
+                                         refine_iters=refine_iters)
             else:
-                xt = _jit_ddim_invert(sched, eps_fn, latent)
+                xt = _jit_ddim_invert(sched, eps_fn, latent,
+                                      refine_iters=refine_iters)
             zs, xts = None, None
         elif inversion_method == "ddpm":
             if key is None:

@@ -424,3 +424,39 @@ def test_encoder_propagation_exact_and_approximate():
     k2 = edit_split(sched, feat, x, encoder_reuse=2).x0
     assert np.isfinite(np.asarray(k2)).all()
     assert not np.array_equal(np.asarray(k2), np.asarray(base))
+
+
+def test_ddim_inversion_fixed_point_refinement_improves_roundtrip():
+    """refine_iters=m iterates eps at the TARGET latent, converging to the
+    exact inverse of the forward DDIM step (next_step is ddim_step's
+    algebraic inverse at equal eps) — roundtrip error must drop
+    monotonically with m on a contractive denoiser AND on the tiny UNet."""
+    from diffusion_image_editing_tpu.engine.denoise import EpsClosure, generate
+    from diffusion_image_editing_tpu.engine.invert import ddim_invert, ddim_invert_split
+    from diffusion_image_editing_tpu.models import TINY_UNET2D, UNet2D
+
+    sched = make_schedule(num_inference_steps=6, clip_sample=False)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 3)) * 0.3
+
+    def err(eps_fn, m):
+        xT = ddim_invert(sched, eps_fn, x0, refine_iters=m)
+        rec = generate(sched, eps_fn, xT).x0
+        return float(jnp.sqrt(jnp.mean((rec - x0) ** 2)))
+
+    # contractive analytic denoiser (CLAUDE.md rule 3: random UNets amplify
+    # fp chaos; the analytic case isolates the algorithm)
+    analytic = EpsClosure(lambda p, x, t: 0.3 * jnp.tanh(x), None)
+    e0, e1, e2 = err(analytic, 0), err(analytic, 1), err(analytic, 2)
+    assert e1 < e0 * 0.5 and e2 < e1 * 0.5, (e0, e1, e2)
+
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    unet_eps = EpsClosure(model.apply, params)
+    u0, u2 = err(unet_eps, 0), err(unet_eps, 2)
+    assert u2 < u0, (u0, u2)
+
+    # split == fused at equal m
+    xT_f = ddim_invert(sched, unet_eps, x0, refine_iters=2)
+    xT_s = ddim_invert_split(sched, unet_eps, x0, refine_iters=2)
+    np.testing.assert_allclose(np.asarray(xT_f), np.asarray(xT_s),
+                               rtol=1e-6, atol=1e-6)
