@@ -422,6 +422,32 @@ def phase_encprop(tiny, models, k=3, reps=3):
     return STEPS / elapsed
 
 
+def phase_proxy(tiny, models, reps=3):
+    """Headline workload with the guidance VJP through the fitted affine
+    latent->RGB proxy codec (`guidance/proxy.py`) instead of the full VAE
+    decoder. The decode-VJP term — 49.5 of ~70 ms/step on this workload
+    (PARITY.md round-2 breakdown) — vanishes; what remains is the CFG UNet +
+    schedule update + a per-pixel matmul VJP. APPROXIMATE and opt-in
+    (`edit_image(guidance_codec="proxy")`); exactness for affine decoders is
+    pinned in tests/test_guidance_proxy.py."""
+    from diffusion_image_editing_tpu.guidance import fit_decode_proxy
+
+    denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+        build_edit_step(tiny, models, guidance="color", decode_remat="none")
+    )
+    proxy = fit_decode_proxy(decode_fn, tuple(xt.shape[1:]), n=8)
+    timesteps = np.asarray(sched.timesteps)
+
+    def run_pass(x):
+        for i, t in enumerate(timesteps):
+            x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+            x = guidance_nudge(proxy, attr, x, eps, jnp.int32(t), jnp.int32(i))
+        return x
+
+    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+    return STEPS / elapsed
+
+
 def phase_seg_train(tiny):
     """BiSeNet trainer ms/step at the reference recipe (448px, width 64,
     batch 16/device) with bf16 compute (VERDICT r3 item 4). Slope timing:
@@ -573,7 +599,7 @@ def main():
     # train) come right after the standing headline/e2e records
     default_phases = (
         "headline" if tiny
-        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,batch,seg"
+        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,proxy,batch,seg"
     )
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
@@ -595,6 +621,8 @@ def main():
         extras["train_bf16_img_s"] = round(img_s, 1)
     if "encprop" in phases:
         extras["encprop_k3_steps_s"] = round(phase_encprop(tiny, models, k=3), 3)
+    if "proxy" in phases:
+        extras["proxy_guided_steps_s"] = round(phase_proxy(tiny, models), 3)
     if "batch" in phases:
         for b in (2, 4):
             sps = phase_guided_edit(tiny, models, batch=b, reps=2)

@@ -111,7 +111,8 @@ def cmd_edit(args):
     attr = None
     if args.attr_func:
         registry = create_attr_func_registry()
-        params = dict(loss_scale=args.loss_scale, t1=args.t1, t2=args.t2)
+        params = dict(loss_scale=args.loss_scale, t1=args.t1, t2=args.t2,
+                      stride=args.guidance_stride)
         if args.attr_func == "SingleColorAttrFunc":
             params.update(target=args.color_target, color_idx=args.color_idx)
         attr = registry.get(args.attr_func, params)
@@ -133,6 +134,7 @@ def cmd_edit(args):
         key=jax.random.PRNGKey(args.seed),
         mode=args.edit_mode,
         encoder_reuse=args.encoder_reuse,
+        guidance_codec=args.guidance_codec,
     )
     array_to_pil(np.asarray(out.imgs)).save(args.out)
     print(args.out)
@@ -285,6 +287,14 @@ def main(argv=None):
                    help="split: per-step jits, compiles in seconds (one-off "
                         "CLI edits); fused: one-scan single-dispatch program "
                         "(equal steady-state speed, ~2 min compile)")
+    e.add_argument("--guidance-codec", default="full", choices=["full", "proxy"],
+                   help="proxy: guidance gradients through the fitted affine "
+                        "latent->RGB map (guidance/proxy.py) instead of the "
+                        "full decoder — the decode-VJP cost vanishes; the "
+                        "output image still uses the real decoder")
+    e.add_argument("--guidance-stride", type=int, default=1,
+                   help="apply the guidance nudge every K-th step inside "
+                        "[t1, t2); skipped steps pay zero guidance cost")
     e.add_argument("--out", default="edited.png")
     e.set_defaults(fn=cmd_edit)
 

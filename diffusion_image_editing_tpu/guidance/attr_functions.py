@@ -78,6 +78,10 @@ class AttrFunc(struct.PyTreeNode):
     # (`lax.map(..., batch_size=k)`) — per-sample loss normalization is
     # preserved under vmap, only the VJP working set and MXU batch grow
     vjp_chunk: int = struct.field(pytree_node=False, default=1)
+    # apply the nudge only every `stride`-th step inside the window (opt-in
+    # accel: skipped steps pay ZERO guidance cost via the lax.cond below;
+    # stride=1 is exact reference semantics)
+    stride: int = struct.field(pytree_node=False, default=1)
 
     @property
     def name(self) -> str:
@@ -141,14 +145,33 @@ class AttrFunc(struct.PyTreeNode):
             m = mask if self.use_mask else None
             return self.calculate_loss(decoded, m, x0) * self.loss_scale
 
-        attr_grad = -jax.grad(objective)(xt)
-        if self.mask_attr_grad:
-            if mask is None:
-                raise ValueError("mask_attr_grad requires a mask")
-            attr_grad = mask * attr_grad
+        if self.mask_attr_grad and mask is None:
+            raise ValueError("mask_attr_grad requires a mask")
+
+        def compute_grad(x):
+            g = -jax.grad(objective)(x)
+            return mask * g if self.mask_attr_grad else g
 
         in_window = jnp.logical_and(step_idx >= self.t1, step_idx < self.t2)
-        nudge = jnp.where(in_window, 1.0, 0.0).astype(xt.dtype) * attr_grad * a_t**2
+        if self.stride > 1:
+            in_window = jnp.logical_and(in_window, step_idx % self.stride == 0)
+
+        if jnp.ndim(in_window) == 0:
+            # Scalar window predicate (the common case): lax.cond, so steps
+            # outside [t1, t2) — and strided-off steps — pay ZERO guidance
+            # cost instead of computing the full decode/loss-net VJP and
+            # where-masking it away. Numerically identical to the masked
+            # form. (Under vmapped sweeps cond lowers to select — correctness
+            # holds, the saving needs the scalar path of `apply_batched`.)
+            attr_grad = jax.lax.cond(
+                in_window, compute_grad, lambda x: jnp.zeros_like(x), xt
+            )
+            nudge = attr_grad * a_t**2
+        else:
+            # batched t1/t2 leaves used directly (outside apply_batched):
+            # keep the broadcasting where-mask form
+            attr_grad = compute_grad(xt)
+            nudge = jnp.where(in_window, 1.0, 0.0).astype(xt.dtype) * attr_grad * a_t**2
         if self.nudge_xt:
             xt = xt + nudge
         if self.nudge_zt and zt is not None:

@@ -263,6 +263,7 @@ class EditPipeline:
         mode: str = "fused",
         decode_remat: str = "auto",
         encoder_reuse: int = 1,
+        guidance_codec: str = "full",
     ) -> EditorOutput:
         """Guided denoise of (possibly edited) noise maps
         (`SegDiffEditPipeline.py:202-302`).
@@ -299,8 +300,19 @@ class EditPipeline:
 
         if decode_remat not in ("auto", "blocks", "none"):
             raise ValueError(f"Unknown decode_remat: {decode_remat}")
+        if guidance_codec not in ("full", "proxy"):
+            raise ValueError(f"Unknown guidance_codec: {guidance_codec}")
         remat_blocks = decode_remat == "blocks"
-        dec_fn = w.decode_fn(remat_blocks=remat_blocks)
+        # "proxy": the guidance VJP runs through the fitted affine
+        # latent->RGB map (guidance/proxy.py) instead of the full decoder —
+        # opt-in accel (the decode-VJP term, ~70% of the guided step on SD
+        # 512px, vanishes). The OUTPUT image below still uses the real
+        # decoder either way.
+        dec_fn = (
+            w.guidance_decode_proxy()
+            if guidance_codec == "proxy"
+            else w.decode_fn(remat_blocks=remat_blocks)
+        )
 
         if mode == "split":
             result = run_edit_split(

@@ -52,6 +52,7 @@ class DiffusionWrapper:
         self._encode_closure = EncodeClosure()
         self._decode_closure = DecodeClosure()
         self._decode_closure_remat = DecodeClosure()
+        self._decode_proxy = None
 
     def _setup_codec(self) -> None:
         if self._mesh is not None:
@@ -83,6 +84,7 @@ class DiffusionWrapper:
         w = copy.copy(self)
         w._mesh = mesh
         w._jit_cache = {}
+        w._decode_proxy = None
         w._setup_codec()
         return w
 
@@ -97,6 +99,20 @@ class DiffusionWrapper:
         decoder block (same params; see `models.vae.Decoder`) — required for
         batch>=2 512px guided edits on a 16GB chip."""
         return self._decode_closure_remat if remat_blocks else self._decode_closure
+
+    def guidance_decode_proxy(self, key=None, n: int = 8, refresh: bool = False):
+        """Fitted affine latent->RGB proxy codec for guidance
+        (`guidance/proxy.py`): the guidance VJP runs through a per-pixel
+        affine map instead of the full decoder — opt-in accel, fitted once
+        per wrapper (one n-batch decode forward) and cached."""
+        if self._decode_proxy is None or refresh:
+            from ..guidance.proxy import fit_decode_proxy
+
+            d = self.data_dimensionality
+            self._decode_proxy = fit_decode_proxy(
+                self.decode_fn(), (d, d, self.latent_channels), key=key, n=n
+            )
+        return self._decode_proxy
 
     def encode(self, sample: Array) -> Array:
         return self.encode_fn()(sample)
