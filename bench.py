@@ -222,7 +222,8 @@ def _timed_pass(run_pass, x_warm, x0, reps):
         out = run_pass(out)
         sink += float(jnp.sum(out))  # D2H sync inside the timed region
     elapsed = (time.perf_counter() - t0) / reps
-    assert jnp.isfinite(sink)
+    if not jnp.isfinite(jnp.asarray(sink)):
+        raise FloatingPointError(f"non-finite timed-pass readback (sink={sink})")
     return elapsed
 
 
@@ -605,32 +606,53 @@ def main():
     models = _build_models(tiny)
     extras = _RESULT["extras"]
 
+    def _safe(name, fn):
+        # One phase failing (r04 on-chip example: phase_ldm_clf hit the
+        # non-finite guard in _timed_pass) must NOT lose the phases already
+        # measured — record the error as an extra and keep going.
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench-inner] phase {name} failed: {e!r}", file=sys.stderr,
+                  flush=True)
+            extras[name + "_error"] = repr(e)[:200]
+
     if "headline" in phases:
         _RESULT["steps_per_sec"] = phase_guided_edit(tiny, models)
     if "e2e" in phases:
-        extras["e2e_invert_edit_s"] = round(phase_e2e(tiny, models), 3)
+        _safe("e2e", lambda: extras.__setitem__(
+            "e2e_invert_edit_s", round(phase_e2e(tiny, models), 3)))
     if "e2e_seg" in phases:
-        extras["e2e_seg_edit_s"] = round(phase_e2e_seg(tiny, models), 3)
+        _safe("e2e_seg", lambda: extras.__setitem__(
+            "e2e_seg_edit_s", round(phase_e2e_seg(tiny, models), 3)))
     if "ldm" in phases and not tiny:
-        extras["ldm_clf_steps_s"] = round(phase_ldm_clf(), 3)
+        _safe("ldm", lambda: extras.__setitem__(
+            "ldm_clf_steps_s", round(phase_ldm_clf(), 3)))
     if "sweep" in phases:
-        extras["sweep8_sample_steps_s"] = round(phase_sweep(tiny, models), 3)
+        _safe("sweep", lambda: extras.__setitem__(
+            "sweep8_sample_steps_s", round(phase_sweep(tiny, models), 3)))
     if "train" in phases:
-        ms, img_s = phase_seg_train(tiny)
-        extras["train_bf16_ms_step"] = round(ms, 2)
-        extras["train_bf16_img_s"] = round(img_s, 1)
+        def _train():
+            ms, img_s = phase_seg_train(tiny)
+            extras["train_bf16_ms_step"] = round(ms, 2)
+            extras["train_bf16_img_s"] = round(img_s, 1)
+        _safe("train", _train)
     if "encprop" in phases:
-        extras["encprop_k3_steps_s"] = round(phase_encprop(tiny, models, k=3), 3)
+        _safe("encprop", lambda: extras.__setitem__(
+            "encprop_k3_steps_s", round(phase_encprop(tiny, models, k=3), 3)))
     if "proxy" in phases:
-        extras["proxy_guided_steps_s"] = round(phase_proxy(tiny, models), 3)
+        _safe("proxy", lambda: extras.__setitem__(
+            "proxy_guided_steps_s", round(phase_proxy(tiny, models), 3)))
     if "batch" in phases:
-        for b in (2, 4):
-            sps = phase_guided_edit(tiny, models, batch=b, reps=2)
-            extras[f"batch{b}_steps_s"] = round(b * sps, 3)  # aggregate
+        def _batch():
+            for b in (2, 4):
+                sps = phase_guided_edit(tiny, models, batch=b, reps=2)
+                extras[f"batch{b}_steps_s"] = round(b * sps, 3)  # aggregate
+        _safe("batch", _batch)
     if "seg" in phases:
-        extras["seg_steps_s"] = round(
-            phase_guided_edit(tiny, models, guidance="seg", reps=2), 3
-        )
+        _safe("seg", lambda: extras.__setitem__(
+            "seg_steps_s",
+            round(phase_guided_edit(tiny, models, guidance="seg", reps=2), 3)))
     # Disarm before the final emit: a late alarm/SIGTERM during teardown must
     # not print a second (partial-marked) line.
     signal.alarm(0)
