@@ -544,6 +544,12 @@ def phase_ldm_clf(reps=3):
     xt = jax.random.normal(jax.random.PRNGKey(12), w.latent_shape(1), jnp.float32)
 
     def run_pass(x):
+        # Unit-RMS renorm at pass entry: with RANDOM weights this LDM's DDIM
+        # latent grows ~20%/step (scripts/probe_ldm_nan.py), so the chained
+        # warm+timed passes (200 steps) overflow without it — the r04
+        # on-chip non-finite readback. One tiny elementwise op per PASS;
+        # every per-step program is unchanged and inputs stay chained.
+        x = x / (jnp.sqrt(jnp.mean(x.astype(jnp.float32) ** 2)) + 1e-6).astype(x.dtype)
         for i, t in enumerate(timesteps):
             x, eps = dstep(eps_fn, x, jnp.int32(t))
             x = nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
