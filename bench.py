@@ -273,7 +273,7 @@ def phase_e2e(tiny, models, reps=2):
     return _timed_pass(run_pass, xt * 0.5, xt * 0.1, reps)
 
 
-def phase_e2e_seg(tiny, models, reps=2):
+def phase_e2e_seg(tiny, models, reps=2, fast=False):
     """Flagship product flow, wall-clock: FFHQ-align (synthetic landmarks) ->
     BiSeNet segment -> hair mask -> edit-friendly DDPM inversion (timestep-
     parallel) -> masked resynthesized NetAttrFunc-guided edit — the
@@ -355,6 +355,14 @@ def phase_e2e_seg(tiny, models, reps=2):
             xt, eta=1.0, zs=zs, xts=xts, mask=mask, attr_func=attr,
             inversion_method="ddpm", t_skip=t_skip, resynthesize=True,
             key=key, collect=False, mode="split",
+            # fast operating point: OPT-IN accels composed on the flagship
+            # flow — guidance VJP through the fitted affine proxy codec
+            # (decode-VJP term vanishes; BiSeNet fwd+bwd stays real) +
+            # encoder propagation k=3 (down-path every 3rd step). Both are
+            # approximations by design; the plain e2e_seg number stays the
+            # exact reference-faithful record.
+            guidance_codec="proxy" if fast else "full",
+            encoder_reuse=3 if fast else 1,
         )
         return out.imgs
 
@@ -606,7 +614,8 @@ def main():
     # train) come right after the standing headline/e2e records
     default_phases = (
         "headline" if tiny
-        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,proxy,batch,seg"
+        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,proxy,"
+             "e2e_seg_fast,batch,seg"
     )
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
     models = _build_models(tiny)
@@ -631,6 +640,9 @@ def main():
     if "e2e_seg" in phases:
         _safe("e2e_seg", lambda: extras.__setitem__(
             "e2e_seg_edit_s", round(phase_e2e_seg(tiny, models), 3)))
+    if "e2e_seg_fast" in phases:
+        _safe("e2e_seg_fast", lambda: extras.__setitem__(
+            "e2e_seg_fast_s", round(phase_e2e_seg(tiny, models, fast=True), 3)))
     if "ldm" in phases and not tiny:
         _safe("ldm", lambda: extras.__setitem__(
             "ldm_clf_steps_s", round(phase_ldm_clf(), 3)))

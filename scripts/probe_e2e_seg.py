@@ -144,6 +144,17 @@ def main():
 
     timed("edit_only(incl final decode)", edit_only, reps=3)
 
+    def edit_fused():
+        out = pipe.edit_image(
+            xt, eta=1.0, zs=zs, xts=xts, mask=mask, attr_func=attr,
+            inversion_method="ddpm", t_skip=t_skip, resynthesize=True,
+            key=key, collect=False, mode="fused")
+        return out.imgs
+
+    print("compiling fused edit (cached across runs via .jax_cache)...", flush=True)
+    _ = float(jnp.sum(edit_fused()))
+    timed("edit_fused(incl final decode)", edit_fused, reps=3)
+
     lat = xt[None] if xt.ndim == 3 else xt
     timed("decode_only", lambda: sd.decode(lat * 0.1), reps=3)
     n_steps = STEPS - t_skip

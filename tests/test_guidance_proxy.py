@@ -119,3 +119,28 @@ def test_pipeline_guidance_codec_proxy_runs_and_caches():
     p2 = w.guidance_decode_proxy()
     assert p1 is p2  # fitted once, cached
     assert p1.up == 4  # 32px image / 8px latent
+
+
+def test_netattrfunc_composes_with_proxy_codec():
+    # seg guidance through the proxy codec: BiSeNet consumes proxy-decoded
+    # images; only the decode-VJP term is replaced (the fast e2e_seg
+    # operating point in bench.phase_e2e_seg(fast=True))
+    from diffusion_image_editing_tpu.core import make_schedule
+    from diffusion_image_editing_tpu.guidance import NetAttrFunc
+    from diffusion_image_editing_tpu.models.bisenet import BiSeNet
+
+    sched = make_schedule(num_inference_steps=STEPS)
+    true = _affine_decoder(jax.random.PRNGKey(20), up=2)
+    proxy = fit_decode_proxy(true, (8, 8, 4), key=jax.random.PRNGKey(21), n=4)
+    seg = BiSeNet(n_classes=19, width=8)
+    sparams = seg.init(jax.random.PRNGKey(22), jnp.zeros((1, 16, 16, 3)))
+    attr = NetAttrFunc(
+        loss_scale=10.0, t1=0, t2=STEPS, seg_params=sparams,
+        seg_apply_fn=lambda p, img: seg.apply(p, img)[0], idx_for_class=(17,),
+    )
+    xt = jax.random.normal(jax.random.PRNGKey(23), (1, 8, 8, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(24), (1, 8, 8, 4))
+    out, _ = attr.apply(xt, None, eps, sched.timesteps[2], jnp.int32(2), sched, proxy)
+    assert out.shape == xt.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.max(jnp.abs(out - xt))) > 0
