@@ -75,7 +75,7 @@ _ROWS_MAX = 32768
 # changes nothing. These counters increment at trace time so harnesses can
 # assert which path each program actually captured (see
 # scripts/ab_conv_dispatch.py, which was bitten by exactly this).
-TRACE_COUNTS = {"shift9": 0, "xla": 0}
+TRACE_COUNTS = {"shift9": 0, "xla": 0, "int8": 0}
 
 
 def snapshot_trace_counts() -> dict:
@@ -84,8 +84,8 @@ def snapshot_trace_counts() -> dict:
 
 def conv_mode() -> str:
     v = os.environ.get("DIE_TPU_CONV", "auto").lower()
-    if v not in ("auto", "xla", "shift9"):
-        raise ValueError(f"DIE_TPU_CONV must be auto|xla|shift9, got {v}")
+    if v not in ("auto", "xla", "shift9", "int8"):
+        raise ValueError(f"DIE_TPU_CONV must be auto|xla|shift9|int8, got {v}")
     return v
 
 
@@ -125,8 +125,68 @@ def conv3x3_xla(x: Array, w: Array) -> Array:
     )
 
 
+def _quantize_int8(v: Array, axes) -> tuple[Array, Array]:
+    """Symmetric max-abs int8 quantization; returns (q, scale).
+
+    `axes`: reduction axes for the scale (per-tensor for activations,
+    per-output-channel for HWIO weights). Scale is kept f32; the zero
+    tensor gets scale 1 so 0/0 never appears.
+    """
+    a = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.clip(jnp.round(v.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _conv3x3_int8_fwd(x: Array, w: Array) -> Array:
+    """int8 MXU conv: s8 x s8 -> s32, dequantized to x.dtype.
+
+    Dynamic per-tensor activation scale + per-Cout weight scale (the
+    standard post-training symmetric scheme). v5e's MXU runs int8 at 2x
+    the bf16 FLOP rate (394 vs 197 T/s), so on the conv-bound guided
+    step this is the one lever left above the measured bf16 roofline.
+    """
+    xq, sx = _quantize_int8(x, axes=(0, 1, 2, 3))
+    wq, sw = _quantize_int8(w, axes=(0, 1, 2))  # (1,1,1,Cout)
+    yi = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = yi.astype(jnp.float32) * (sx.reshape(()) * sw.reshape(1, 1, 1, -1))
+    return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def conv3x3_int8(x: Array, w: Array) -> Array:
+    """int8 forward, straight-through bf16 backward.
+
+    The backward is EXACTLY `conv3x3_xla`'s VJP at the unquantized
+    operands (straight-through estimator): guidance VJPs and training
+    see the same gradients as the bf16 path, only forwards quantize.
+    """
+    return _conv3x3_int8_fwd(x, w)
+
+
+def _conv3x3_int8_vjp_fwd(x, w):
+    return _conv3x3_int8_fwd(x, w), (x, w)
+
+
+def _conv3x3_int8_vjp_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(conv3x3_xla, x, w)
+    return vjp(g)
+
+
+conv3x3_int8.defvjp(_conv3x3_int8_vjp_fwd, _conv3x3_int8_vjp_bwd)
+
+
 def conv3x3(x: Array, w: Array) -> Array:
     """Dispatched 3x3 stride-1 conv (NHWC x HWIO -> NHWC)."""
+    mode = conv_mode()
+    if mode == "int8":
+        TRACE_COUNTS["int8"] += 1
+        return conv3x3_int8(x, w)
     if _use_shift9(x.shape[0] * x.shape[1] * x.shape[2]):
         TRACE_COUNTS["shift9"] += 1
         return conv3x3_shift9(x, w)

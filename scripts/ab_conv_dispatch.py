@@ -39,7 +39,8 @@ def main():
     models = _build_models(tiny=False)  # shared weights; programs differ
 
     variants = {}
-    for v in ("xla", "auto", "shift9"):
+    vlist = tuple(os.environ.get("AB_CONV_VARIANTS", "xla,auto,shift9").split(","))
+    for v in vlist:
         os.environ["DIE_TPU_CONV"] = v
         denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
             build_edit_step(False, models=models)
@@ -63,6 +64,8 @@ def main():
             raise RuntimeError("xla variant traced shift9 convs — A/B invalid")
         if v == "shift9" and delta["xla"]:
             raise RuntimeError("shift9 variant traced xla convs — A/B invalid")
+        if v == "int8" and not delta["int8"]:
+            raise RuntimeError("int8 variant traced no int8 convs — A/B invalid")
         # (The decisive 2026-08-17 run used the pre-decision auto rule —
         # shift9 on 256<=rows<=32768 — census {'shift9': 53, 'xla': 29};
         # auto has since been set to the e2e winner, XLA everywhere.)

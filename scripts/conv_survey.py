@@ -93,7 +93,17 @@ def conv_shift9(x, w):
     return acc.astype(x.dtype)
 
 
-IMPLS = {"xla": conv_xla, "im2col": conv_im2col, "shift9": conv_shift9}
+def conv_int8(x, w):
+    # full cost of the quantized path: dynamic act quant + s8xs8->s32 conv
+    # + dequant (what DIE_TPU_CONV=int8 actually pays per conv). v5e int8
+    # MXU peak is 2x bf16, so >100% of BF16_PEAK_TFLOPS is possible.
+    from diffusion_image_editing_tpu.ops.conv import _conv3x3_int8_fwd
+
+    return _conv3x3_int8_fwd(x, w)
+
+
+IMPLS = {"xla": conv_xla, "im2col": conv_im2col, "shift9": conv_shift9,
+         "int8": conv_int8}
 
 
 N_LO, N_HI = 10, 110

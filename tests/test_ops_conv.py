@@ -80,3 +80,59 @@ def test_conv_mode_validation(monkeypatch):
     monkeypatch.setenv("DIE_TPU_CONV", "bogus")
     with pytest.raises(ValueError):
         conv_mode()
+
+
+def test_int8_close_to_xla_forward():
+    """Post-training int8 (per-tensor act, per-Cout weight) tracks the exact
+    conv within quantization tolerance on well-scaled data."""
+    from diffusion_image_editing_tpu.ops.conv import conv3x3_int8
+
+    x, w = _data(b=2, h=16, w=16, cin=32, cout=48)
+    y8 = np.asarray(conv3x3_int8(x, w), np.float32)
+    yx = np.asarray(conv3x3_xla(x, w), np.float32)
+    rel = np.linalg.norm(y8 - yx) / np.linalg.norm(yx)
+    assert rel < 0.02, rel  # ~1% typical for s8 with 3*3*32 accumulation
+
+
+def test_int8_backward_is_straight_through_xla():
+    """VJP contract: int8 gradients are EXACTLY the bf16/xla conv's VJP at the
+    unquantized operands (guidance + training see unquantized math)."""
+    from diffusion_image_editing_tpu.ops.conv import conv3x3_int8
+
+    x, w = _data(b=1, h=6, w=6, cin=8, cout=8)
+    g = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 6, 8), jnp.float32)
+
+    _, vjp8 = jax.vjp(conv3x3_int8, x, w)
+    _, vjpx = jax.vjp(conv3x3_xla, x, w)
+    gx8, gw8 = vjp8(g)
+    gxx, gwx = vjpx(g)
+    np.testing.assert_array_equal(np.asarray(gx8), np.asarray(gxx))
+    np.testing.assert_array_equal(np.asarray(gw8), np.asarray(gwx))
+
+
+def test_int8_zero_input_and_dtype_preserved():
+    from diffusion_image_editing_tpu.ops.conv import conv3x3_int8
+
+    x = jnp.zeros((1, 4, 4, 8), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 8, 16), jnp.bfloat16)
+    y = conv3x3_int8(x, w)
+    assert y.dtype == jnp.bfloat16
+    assert not np.any(np.isnan(np.asarray(y, np.float32)))
+    np.testing.assert_array_equal(np.asarray(y, np.float32), 0.0)
+
+
+def test_int8_mode_dispatch_through_module(monkeypatch):
+    from diffusion_image_editing_tpu.ops import conv as conv_mod
+
+    x, _ = _data(cin=5, cout=7)
+    mod = Conv3x3(7)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    before = dict(conv_mod.TRACE_COUNTS)
+    monkeypatch.setenv("DIE_TPU_CONV", "int8")
+    out8 = mod.apply(params, x)
+    assert conv_mod.TRACE_COUNTS["int8"] > before["int8"]
+    monkeypatch.setenv("DIE_TPU_CONV", "xla")
+    outx = mod.apply(params, x)
+    rel = (np.linalg.norm(np.asarray(out8 - outx, np.float32))
+           / np.linalg.norm(np.asarray(outx, np.float32)))
+    assert rel < 0.05, rel
