@@ -24,11 +24,16 @@ while [ $(( $(date +%s) - T0 )) -lt "$WATCH_S" ]; do
     > "/tmp/bench_watch_$i.json" 2> "/tmp/bench_watch_$i.err"
   if grep -q '"value": [0-9]' "/tmp/bench_watch_$i.json" \
      && ! grep -q 'TINY CPU FALLBACK' "/tmp/bench_watch_$i.json"; then
-    cp "/tmp/bench_watch_$i.json" /root/repo/BENCH_MANUAL_r04.json
+    cp "/tmp/bench_watch_$i.json" /root/repo/BENCH_MANUAL_r04b.json
     echo "real bench recorded on watch iteration $i" >&2
-    timeout 3600 python scripts/bench_seg_train.py \
-      > /tmp/seg_train_r04.log 2>&1
-    echo "seg-train suite done (rc=$?)" >&2
+    # seg-train matrix already recorded (SEG_TRAIN_r04.log); remaining chip
+    # items are the int8 conv survey + an int8 headline A/B (PARITY r4 tail).
+    timeout 2400 python scripts/conv_survey.py \
+      > /tmp/conv_survey_int8.log 2>&1
+    echo "conv survey done (rc=$?)" >&2
+    DIE_TPU_CONV=int8 DIE_BENCH_PHASES=headline DIE_BENCH_DEADLINE_S=1800 \
+      python bench.py > /tmp/bench_int8.json 2> /tmp/bench_int8.err
+    echo "int8 headline A/B done (rc=$?)" >&2
     exit 0
   fi
   sleep 300
