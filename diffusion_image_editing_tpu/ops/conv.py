@@ -39,9 +39,12 @@ therefore measured, not assumed:
     auto  ->  XLA conv on every shape (the end-to-end winner)
 
 `DIE_TPU_CONV` env: "shift9" forces the decomposition (A/B harnesses),
-"xla" is explicit, unset/"auto" uses the measured dispatch. NOTE the flag is
-read at TRACE time — set it before the program first runs (TRACE_COUNTS
-lets harnesses verify).
+"xla" is explicit, unset/"auto" uses the measured dispatch, "int8" forces
+the quantized MXU conv everywhere (opt-in, lossy fwd; chip A/B: LOSES the
+headline 10.38 vs 14.31 steps/s), "int8_large" gates int8 on H >= 32 where
+the chip survey shows it wins standalone (CONV_SURVEY_INT8_r04.log). NOTE
+the flag is read at TRACE time — set it before the program first runs
+(TRACE_COUNTS lets harnesses verify).
 
 `Conv3x3` is a drop-in for `flax.linen.Conv` on the 3x3 stride-1 case with
 IDENTICAL parameter structure ('kernel' (3,3,Cin,Cout), 'bias' (Cout,)), so
@@ -77,6 +80,13 @@ _ROWS_MAX = 32768
 # scripts/ab_conv_dispatch.py, which was bitten by exactly this).
 TRACE_COUNTS = {"shift9": 0, "xla": 0, "int8": 0}
 
+# Chip-measured int8 crossover (CONV_SURVEY_INT8_r04.log, slope method):
+# the s8xs8->s32 conv beats XLA's bf16 conv on every surveyed shape with
+# H >= 32 (UNet 64/32 stages, all VAE decode stages, 92-104% of bf16 peak)
+# and loses at H in {8, 16} where quantize/dequantize overhead swamps the
+# small matmuls (unet8_1280: 4x slower). "int8_large" gates on this.
+_INT8_MIN_H = 32
+
 
 def snapshot_trace_counts() -> dict:
     return dict(TRACE_COUNTS)
@@ -84,8 +94,10 @@ def snapshot_trace_counts() -> dict:
 
 def conv_mode() -> str:
     v = os.environ.get("DIE_TPU_CONV", "auto").lower()
-    if v not in ("auto", "xla", "shift9", "int8"):
-        raise ValueError(f"DIE_TPU_CONV must be auto|xla|shift9|int8, got {v}")
+    if v not in ("auto", "xla", "shift9", "int8", "int8_large"):
+        raise ValueError(
+            f"DIE_TPU_CONV must be auto|xla|shift9|int8|int8_large, got {v}"
+        )
     return v
 
 
@@ -184,7 +196,7 @@ conv3x3_int8.defvjp(_conv3x3_int8_vjp_fwd, _conv3x3_int8_vjp_bwd)
 def conv3x3(x: Array, w: Array) -> Array:
     """Dispatched 3x3 stride-1 conv (NHWC x HWIO -> NHWC)."""
     mode = conv_mode()
-    if mode == "int8":
+    if mode == "int8" or (mode == "int8_large" and x.shape[1] >= _INT8_MIN_H):
         TRACE_COUNTS["int8"] += 1
         return conv3x3_int8(x, w)
     if _use_shift9(x.shape[0] * x.shape[1] * x.shape[2]):

@@ -7,7 +7,7 @@ Useful for A/B-profiling kernel vs compiler codegen on real hardware.
 Related dispatch vars (each documented at its op):
   DIE_TPU_PALLAS_ATTN / _GN / _ABN  — per-op Pallas overrides (this module)
   DIE_TPU_ATTN_STREAMING            — over-VMEM streaming attention (ops/attention.py)
-  DIE_TPU_CONV                      — conv3x3 auto|xla|shift9|int8 (ops/conv.py)
+  DIE_TPU_CONV                      — conv3x3 auto|xla|shift9|int8|int8_large (ops/conv.py)
 All are read at TRACE time — set before the program first runs (see
 `ops.conv.TRACE_COUNTS` and CLAUDE.md rule 4).
 """

@@ -136,3 +136,21 @@ def test_int8_mode_dispatch_through_module(monkeypatch):
     rel = (np.linalg.norm(np.asarray(out8 - outx, np.float32))
            / np.linalg.norm(np.asarray(outx, np.float32)))
     assert rel < 0.05, rel
+
+
+def test_int8_large_gates_on_spatial_size(monkeypatch):
+    """int8_large routes H>=32 convs to int8 and small-spatial ones to the
+    measured-auto (xla) path, per the chip survey crossover."""
+    from diffusion_image_editing_tpu.ops import conv as conv_mod
+
+    monkeypatch.setenv("DIE_TPU_CONV", "int8_large")
+    w_small = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 8, 8)) * 0.1
+    x_small = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 8))
+    before = dict(conv_mod.TRACE_COUNTS)
+    conv_mod.conv3x3(x_small, w_small)
+    assert conv_mod.TRACE_COUNTS["int8"] == before["int8"]
+    assert conv_mod.TRACE_COUNTS["xla"] == before["xla"] + 1
+
+    x_large = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 8))
+    conv_mod.conv3x3(x_large, w_small)
+    assert conv_mod.TRACE_COUNTS["int8"] == before["int8"] + 1
