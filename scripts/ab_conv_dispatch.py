@@ -66,6 +66,10 @@ def main():
             raise RuntimeError("shift9 variant traced xla convs — A/B invalid")
         if v == "int8" and not delta["int8"]:
             raise RuntimeError("int8 variant traced no int8 convs — A/B invalid")
+        if v == "int8_large" and (not delta["int8"] or not delta["xla"]):
+            # the gated mode must split: int8 on H>=32, xla below
+            raise RuntimeError(
+                f"int8_large census not mixed ({delta}) — A/B invalid")
         # (The decisive 2026-08-17 run used the pre-decision auto rule —
         # shift9 on 256<=rows<=32768 — census {'shift9': 53, 'xla': 29};
         # auto has since been set to the e2e winner, XLA everywhere.)
