@@ -397,6 +397,49 @@ def phase_sweep(tiny, models, grid=8, reps=2):
     return grid * STEPS / elapsed
 
 
+def phase_int8(tiny, models, reps=3, min_h=128):
+    """Headline workload with the opt-in gated int8 conv path
+    (DIE_TPU_CONV=int8_large): s8xs8->s32 MXU convs on the H>=min_h shapes
+    only — at the winning gate (128) that is just the guidance decode's
+    huge-spatial stages, where the chip survey shows 1.3-1.6x standalone
+    wins that SURVIVE end-to-end (round-4 interleaved A/B: 67.35 vs 69.97
+    ms/step; gates at 32/64 LOSE to XLA's epilogue fusion like shift9 did).
+    APPROXIMATE forward (per-tensor act / per-Cout weight scales,
+    straight-through bf16 VJP); quality bound pinned in
+    tests/test_ops_conv.py::test_int8_large_decoder_quality. The env vars
+    are trace-time, so the fresh jit wrappers from build_edit_step capture
+    the int8 programs without touching any other phase's."""
+    from diffusion_image_editing_tpu.ops import conv as conv_mod
+
+    saved = {k_: os.environ.get(k_) for k_ in ("DIE_TPU_CONV", "DIE_TPU_INT8_MIN_H")}
+    os.environ["DIE_TPU_CONV"] = "int8_large"
+    os.environ["DIE_TPU_INT8_MIN_H"] = str(min_h)
+    try:
+        denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
+            build_edit_step(tiny, models, guidance="color", decode_remat="none")
+        )
+        timesteps = np.asarray(sched.timesteps)
+
+        def run_pass(x):
+            for i, t in enumerate(timesteps):
+                x, eps = denoise_step(eps_fn, x, jnp.int32(t))
+                x = guidance_nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
+            return x
+
+        before = conv_mod.snapshot_trace_counts()
+        elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+        delta = conv_mod.TRACE_COUNTS["int8"] - before["int8"]
+        if not tiny and not delta:
+            raise RuntimeError("int8 phase traced no int8 convs — invalid")
+        return STEPS / elapsed
+    finally:
+        for k_, v in saved.items():
+            if v is None:
+                os.environ.pop(k_, None)
+            else:
+                os.environ[k_] = v
+
+
 def phase_encprop(tiny, models, k=3, reps=3):
     """Headline workload with encoder propagation at interval k (Faster
     Diffusion, arXiv 2312.09608 — PAPERS.md): the UNet down-path runs every
@@ -614,7 +657,7 @@ def main():
     # train) come right after the standing headline/e2e records
     default_phases = (
         "headline" if tiny
-        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,proxy,"
+        else "headline,e2e,e2e_seg,ldm,sweep,train,encprop,proxy,int8,"
              "e2e_seg_fast,batch,seg"
     )
     phases = os.environ.get("DIE_BENCH_PHASES", default_phases).split(",")
@@ -658,6 +701,9 @@ def main():
     if "encprop" in phases:
         _safe("encprop", lambda: extras.__setitem__(
             "encprop_k3_steps_s", round(phase_encprop(tiny, models, k=3), 3)))
+    if "int8" in phases:
+        _safe("int8", lambda: extras.__setitem__(
+            "int8_guided_steps_s", round(phase_int8(tiny, models), 3)))
     if "proxy" in phases:
         _safe("proxy", lambda: extras.__setitem__(
             "proxy_guided_steps_s", round(phase_proxy(tiny, models), 3)))

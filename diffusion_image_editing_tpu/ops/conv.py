@@ -41,10 +41,12 @@ therefore measured, not assumed:
 `DIE_TPU_CONV` env: "shift9" forces the decomposition (A/B harnesses),
 "xla" is explicit, unset/"auto" uses the measured dispatch, "int8" forces
 the quantized MXU conv everywhere (opt-in, lossy fwd; chip A/B: LOSES the
-headline 10.38 vs 14.31 steps/s), "int8_large" gates int8 on H >= 32 where
-the chip survey shows it wins standalone (CONV_SURVEY_INT8_r04.log). NOTE
-the flag is read at TRACE time — set it before the program first runs
-(TRACE_COUNTS lets harnesses verify).
+headline 10.38 vs 14.31 steps/s), "int8_large" gates int8 on
+H >= DIE_TPU_INT8_MIN_H (default 128 — the measured e2e WINNER: +4.4%
+headline, 14.90 vs 14.28 steps/s; see the crossover note below). The
+int8 forward is approximate, so int8_large stays opt-in; `auto` is always
+exact. NOTE the flags are read at TRACE time — set them before the program
+first runs (TRACE_COUNTS lets harnesses verify).
 
 `Conv3x3` is a drop-in for `flax.linen.Conv` on the 3x3 stride-1 case with
 IDENTICAL parameter structure ('kernel' (3,3,Cin,Cout), 'bias' (Cout,)), so
@@ -80,12 +82,22 @@ _ROWS_MAX = 32768
 # scripts/ab_conv_dispatch.py, which was bitten by exactly this).
 TRACE_COUNTS = {"shift9": 0, "xla": 0, "int8": 0}
 
-# Chip-measured int8 crossover (CONV_SURVEY_INT8_r04.log, slope method):
-# the s8xs8->s32 conv beats XLA's bf16 conv on every surveyed shape with
-# H >= 32 (UNet 64/32 stages, all VAE decode stages, 92-104% of bf16 peak)
-# and loses at H in {8, 16} where quantize/dequantize overhead swamps the
-# small matmuls (unet8_1280: 4x slower). "int8_large" gates on this.
-_INT8_MIN_H = 32
+# Chip-measured int8 crossover. STANDALONE (CONV_SURVEY_INT8_r04.log, slope
+# method): the s8xs8->s32 conv beats XLA's bf16 conv on every surveyed shape
+# with H >= 32 (92-104% of bf16 peak) and loses at H in {8, 16} where
+# quantize/dequantize overhead swamps the small matmuls. END-TO-END
+# (interleaved headline A/B sweep, v5e 2026-08-18): gates at 32 and 64 LOSE
+# (85.2 / 76.4 ms/step vs xla 70.0 — epilogue-fusion loss on the UNet convs,
+# the shift9 lesson again), but H>=128 — only the guidance decode's
+# huge-spatial stages — WINS: 67.1 ms/step = 14.90 steps/s vs 14.28
+# (+4.4%), stable across passes and confirmed at gate 256 (67.9). Default
+# gate = the measured e2e winner; DIE_TPU_INT8_MIN_H overrides (trace-time,
+# like DIE_TPU_CONV) for A/B sweeps.
+_INT8_MIN_H_DEFAULT = 128
+
+
+def _int8_min_h() -> int:
+    return int(os.environ.get("DIE_TPU_INT8_MIN_H", _INT8_MIN_H_DEFAULT))
 
 
 def snapshot_trace_counts() -> dict:
@@ -196,7 +208,7 @@ conv3x3_int8.defvjp(_conv3x3_int8_vjp_fwd, _conv3x3_int8_vjp_bwd)
 def conv3x3(x: Array, w: Array) -> Array:
     """Dispatched 3x3 stride-1 conv (NHWC x HWIO -> NHWC)."""
     mode = conv_mode()
-    if mode == "int8" or (mode == "int8_large" and x.shape[1] >= _INT8_MIN_H):
+    if mode == "int8" or (mode == "int8_large" and x.shape[1] >= _int8_min_h()):
         TRACE_COUNTS["int8"] += 1
         return conv3x3_int8(x, w)
     if _use_shift9(x.shape[0] * x.shape[1] * x.shape[2]):

@@ -16,7 +16,15 @@ standalone win window 71.63, shift9 everywhere 160.11 — XLA's epilogue
 fusion beats shift9's higher raw MXU rate end-to-end; auto dispatch is now
 XLA on every shape (`ops/conv.py` docstring).
 
+RESULT (v5e, 2026-08-18, int8 gate sweep, census-verified): xla 70.04,
+int8_large@64 76.36, int8_large@128 **67.09** (= 14.90 steps/s, the first
+e2e conv-dispatch win), int8_large@256 67.90 ms/step. Gate 32 measured
+separately at 85.19. The winning gate quantizes ONLY the guidance decode's
+H>=128 stages (22 of 82 convs); default DIE_TPU_INT8_MIN_H is now 128.
+Opt-in regardless (approximate forward).
+
 Run on the chip:  python scripts/ab_conv_dispatch.py
+Variant syntax:   AB_CONV_VARIANTS=xla,int8_large@64,int8_large@128
 """
 
 import os
@@ -41,7 +49,13 @@ def main():
     variants = {}
     vlist = tuple(os.environ.get("AB_CONV_VARIANTS", "xla,auto,shift9").split(","))
     for v in vlist:
-        os.environ["DIE_TPU_CONV"] = v
+        # "int8_large@N" = gated int8 with DIE_TPU_INT8_MIN_H=N (trace-time,
+        # so each variant's programs capture their own threshold)
+        mode = v
+        if "@" in v:
+            mode, min_h = v.split("@")
+            os.environ["DIE_TPU_INT8_MIN_H"] = min_h
+        os.environ["DIE_TPU_CONV"] = mode
         denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
             build_edit_step(False, models=models)
         )
@@ -60,13 +74,13 @@ def main():
         after = C.snapshot_trace_counts()
         delta = {k: after[k] - before[k] for k in after}
         print(f"built+traced {v}: conv trace census {delta}", flush=True)
-        if v == "xla" and delta["shift9"]:
+        if mode == "xla" and delta["shift9"]:
             raise RuntimeError("xla variant traced shift9 convs — A/B invalid")
-        if v == "shift9" and delta["xla"]:
+        if mode == "shift9" and delta["xla"]:
             raise RuntimeError("shift9 variant traced xla convs — A/B invalid")
-        if v == "int8" and not delta["int8"]:
+        if mode == "int8" and not delta["int8"]:
             raise RuntimeError("int8 variant traced no int8 convs — A/B invalid")
-        if v == "int8_large" and (not delta["int8"] or not delta["xla"]):
+        if mode == "int8_large" and (not delta["int8"] or not delta["xla"]):
             # the gated mode must split: int8 on H>=32, xla below
             raise RuntimeError(
                 f"int8_large census not mixed ({delta}) — A/B invalid")

@@ -139,11 +139,14 @@ def test_int8_mode_dispatch_through_module(monkeypatch):
 
 
 def test_int8_large_gates_on_spatial_size(monkeypatch):
-    """int8_large routes H>=32 convs to int8 and small-spatial ones to the
-    measured-auto (xla) path, per the chip survey crossover."""
+    """int8_large routes H>=MIN_H convs to int8 and smaller-spatial ones to
+    the measured-auto (xla) path; the default gate is the e2e-measured
+    winner, 128 (only the huge-spatial decode stages)."""
     from diffusion_image_editing_tpu.ops import conv as conv_mod
 
+    assert conv_mod._INT8_MIN_H_DEFAULT == 128
     monkeypatch.setenv("DIE_TPU_CONV", "int8_large")
+    monkeypatch.setenv("DIE_TPU_INT8_MIN_H", "32")
     w_small = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 8, 8)) * 0.1
     x_small = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 8))
     before = dict(conv_mod.TRACE_COUNTS)
@@ -176,6 +179,7 @@ def test_int8_large_decoder_quality(monkeypatch):
     ref = np.asarray(vae.apply(params, z, method="decode"))
 
     monkeypatch.setenv("DIE_TPU_CONV", "int8_large")
+    monkeypatch.setenv("DIE_TPU_INT8_MIN_H", "32")  # tiny decoder tops at 64
     before = dict(conv_mod.TRACE_COUNTS)
     out = np.asarray(vae.apply(params, z, method="decode"))
     assert conv_mod.TRACE_COUNTS["int8"] > before["int8"]
