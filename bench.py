@@ -397,23 +397,27 @@ def phase_sweep(tiny, models, grid=8, reps=2):
     return grid * STEPS / elapsed
 
 
-def phase_int8(tiny, models, reps=3, min_h=128):
+def phase_int8(tiny, models, reps=3, min_h=128, bwd=True):
     """Headline workload with the opt-in gated int8 conv path
-    (DIE_TPU_CONV=int8_large): s8xs8->s32 MXU convs on the H>=min_h shapes
-    only — at the winning gate (128) that is just the guidance decode's
-    huge-spatial stages, where the chip survey shows 1.3-1.6x standalone
-    wins that SURVIVE end-to-end (round-4 interleaved A/B: 67.35 vs 69.97
-    ms/step; gates at 32/64 LOSE to XLA's epilogue fusion like shift9 did).
-    APPROXIMATE forward (per-tensor act / per-Cout weight scales,
-    straight-through bf16 VJP); quality bound pinned in
-    tests/test_ops_conv.py::test_int8_large_decoder_quality. The env vars
-    are trace-time, so the fresh jit wrappers from build_edit_step capture
+    (DIE_TPU_CONV=int8_large + DIE_TPU_INT8_BWD=1): s8xs8->s32 MXU convs on
+    the H>=min_h shapes only — at the winning gate (128) that is just the
+    guidance decode's huge-spatial stages, forward AND dgrad (the input
+    cotangent of a 3x3 same-pad conv is itself one, so it rides the same
+    int8 path). Round-4 interleaved A/Bs: fwd-only 67.3 vs xla 69.9
+    ms/step; fwd+bwd 63.80 = 15.67 steps/s (+9.4% over exact); gates at
+    32/64 LOSE to XLA's epilogue fusion like shift9 did — the sweep is the
+    methodology. APPROXIMATE (per-tensor act / per-Cout weight scales);
+    quality bounds pinned in tests/test_ops_conv.py (stacked-decoder
+    forward error, dgrad cosine, dw exactness). The env vars are
+    trace-time, so the fresh jit wrappers from build_edit_step capture
     the int8 programs without touching any other phase's."""
     from diffusion_image_editing_tpu.ops import conv as conv_mod
 
-    saved = {k_: os.environ.get(k_) for k_ in ("DIE_TPU_CONV", "DIE_TPU_INT8_MIN_H")}
+    saved = {k_: os.environ.get(k_)
+             for k_ in ("DIE_TPU_CONV", "DIE_TPU_INT8_MIN_H", "DIE_TPU_INT8_BWD")}
     os.environ["DIE_TPU_CONV"] = "int8_large"
     os.environ["DIE_TPU_INT8_MIN_H"] = str(min_h)
+    os.environ["DIE_TPU_INT8_BWD"] = "1" if bwd else "0"
     try:
         denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
             build_edit_step(tiny, models, guidance="color", decode_remat="none")

@@ -92,7 +92,10 @@ TRACE_COUNTS = {"shift9": 0, "xla": 0, "int8": 0}
 # huge-spatial stages — WINS: 67.1 ms/step = 14.90 steps/s vs 14.28
 # (+4.4%), stable across passes and confirmed at gate 256 (67.9). Default
 # gate = the measured e2e winner; DIE_TPU_INT8_MIN_H overrides (trace-time,
-# like DIE_TPU_CONV) for A/B sweeps.
+# like DIE_TPU_CONV) for A/B sweeps. DIE_TPU_INT8_BWD=1 additionally
+# quantizes the gated dgrad (the input cotangent of a 3x3 same-pad conv is
+# itself one): 63.80 ms/step = 15.67 steps/s on the same A/B (+9.4% over
+# exact, +5.5% over fwd-only int8), stable across passes.
 _INT8_MIN_H_DEFAULT = 128
 
 
@@ -196,10 +199,36 @@ def _conv3x3_int8_vjp_fwd(x, w):
     return _conv3x3_int8_fwd(x, w), (x, w)
 
 
+def _int8_bwd_enabled() -> bool:
+    # Trace-time like the other DIE_TPU_* flags (the bwd traces when the
+    # surrounding grad traces).
+    return os.environ.get("DIE_TPU_INT8_BWD", "0") == "1"
+
+
 def _conv3x3_int8_vjp_bwd(res, g):
     x, w = res
-    _, vjp = jax.vjp(conv3x3_xla, x, w)
-    return vjp(g)
+    if not _int8_bwd_enabled():
+        _, vjp = jax.vjp(conv3x3_xla, x, w)
+        return vjp(g)
+    # DIE_TPU_INT8_BWD=1: quantize the dgrad too. The input-cotangent of a
+    # 3x3 stride-1 same-pad conv is ITSELF such a conv — of the cotangent
+    # against the spatially-flipped, IO-swapped kernel — so it runs on the
+    # same s8xs8->s32 MXU path (per-tensor cotangent scale, per-Cin weight
+    # scale). dw stays exact bf16: it matters for training, and XLA DCEs
+    # it when only x is differentiated (the guidance VJP case).
+    wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    gq, sg = _quantize_int8(g, axes=(0, 1, 2, 3))
+    wq, sw = _quantize_int8(wt, axes=(0, 1, 2))
+    yi = jax.lax.conv_general_dilated(
+        gq, wq, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    dx = (yi.astype(jnp.float32)
+          * (sg.reshape(()) * sw.reshape(1, 1, 1, -1))).astype(x.dtype)
+    _, vjp_w = jax.vjp(lambda w_: conv3x3_xla(x, w_), w)
+    (dw,) = vjp_w(g)
+    return dx, dw
 
 
 conv3x3_int8.defvjp(_conv3x3_int8_vjp_fwd, _conv3x3_int8_vjp_bwd)

@@ -49,11 +49,16 @@ def main():
     variants = {}
     vlist = tuple(os.environ.get("AB_CONV_VARIANTS", "xla,auto,shift9").split(","))
     for v in vlist:
-        # "int8_large@N" = gated int8 with DIE_TPU_INT8_MIN_H=N (trace-time,
-        # so each variant's programs capture their own threshold)
+        # "int8_large@N" = gated int8 with DIE_TPU_INT8_MIN_H=N; a "+bwd"
+        # suffix also quantizes the dgrad (DIE_TPU_INT8_BWD=1). All
+        # trace-time, so each variant's programs capture their own flags.
         mode = v
-        if "@" in v:
-            mode, min_h = v.split("@")
+        os.environ["DIE_TPU_INT8_BWD"] = "0"
+        if mode.endswith("+bwd"):
+            mode = mode[: -len("+bwd")]
+            os.environ["DIE_TPU_INT8_BWD"] = "1"
+        if "@" in mode:
+            mode, min_h = mode.split("@")
             os.environ["DIE_TPU_INT8_MIN_H"] = min_h
         os.environ["DIE_TPU_CONV"] = mode
         denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (

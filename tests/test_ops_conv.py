@@ -189,3 +189,27 @@ def test_int8_large_decoder_quality(monkeypatch):
         (np.abs(ref).max() + 1e-12) / (np.sqrt(np.mean((out - ref) ** 2)) + 1e-12)
     )
     assert err < 0.15, (err, psnr)
+
+
+def test_int8_bwd_dgrad_close_and_dw_exact(monkeypatch):
+    """DIE_TPU_INT8_BWD=1 quantizes only dx (direction preserved within
+    quantization noise); dw must stay bit-identical to the exact path."""
+    from diffusion_image_editing_tpu.ops import conv as conv_mod
+
+    x, w = _data(b=1, h=16, w=16, cin=8, cout=8)
+
+    def loss(x_, w_):
+        return jnp.sum(jnp.sin(conv_mod.conv3x3_int8(x_, w_)))
+
+    monkeypatch.setenv("DIE_TPU_INT8_BWD", "0")
+    gx0, gw0 = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    monkeypatch.setenv("DIE_TPU_INT8_BWD", "1")
+    gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    np.testing.assert_array_equal(np.asarray(gw0), np.asarray(gw1))
+    a, b = np.asarray(gx0, np.float64).ravel(), np.asarray(gx1, np.float64).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+    assert cos > 0.995, (cos, rel)
+    assert rel < 0.10, (cos, rel)
