@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+from ..ops.conv import Conv3x3
 from .layers import upsample_nearest
 from .resnet import NormAct, Resnet18Features
 
@@ -66,9 +67,16 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = nn.Conv(self.out_chan, (self.ks, self.ks), strides=self.stride,
-                    padding=self.padding, use_bias=False, dtype=self.dtype,
-                    name="conv")(x.astype(self.dtype))
+        # 3x3 stride-1 rides the measured-dispatch layer (ops/conv.py):
+        # identical params/numerics under auto; lets the opt-in int8 gate
+        # reach the BiSeNet-dominated seg-guidance VJP.
+        if self.ks == 3 and self.stride == 1 and self.padding == 1:
+            x = Conv3x3(self.out_chan, use_bias=False, dtype=self.dtype,
+                        name="conv")(x.astype(self.dtype))
+        else:
+            x = nn.Conv(self.out_chan, (self.ks, self.ks), strides=self.stride,
+                        padding=self.padding, use_bias=False, dtype=self.dtype,
+                        name="conv")(x.astype(self.dtype))
         return NormAct(self.norm, act=True, axis_name=self.axis_name,
                        dtype=self.dtype, name="bn")(x, train)
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.abn import FusedABNorm
+from ..ops.conv import Conv3x3
 
 Array = jax.Array
 
@@ -79,12 +80,17 @@ class BasicBlock(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         in_chan = x.shape[-1]
         dt = self.dtype
-        r = nn.Conv(self.out_chan, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, dtype=dt, name="conv1")(x)
+        # stride-1 3x3s ride the measured-dispatch layer (ops/conv.py) so
+        # the opt-in int8 gate reaches the seg-guidance VJP; params and
+        # auto-mode numerics are identical to nn.Conv (drop-in contract).
+        if self.stride == 1:
+            r = Conv3x3(self.out_chan, use_bias=False, dtype=dt, name="conv1")(x)
+        else:
+            r = nn.Conv(self.out_chan, (3, 3), strides=self.stride, padding=1,
+                        use_bias=False, dtype=dt, name="conv1")(x)
         r = NormAct(self.norm, act=True, axis_name=self.axis_name, dtype=dt,
                     name="bn1")(r, train)
-        r = nn.Conv(self.out_chan, (3, 3), padding=1, use_bias=False, dtype=dt,
-                    name="conv2")(r)
+        r = Conv3x3(self.out_chan, use_bias=False, dtype=dt, name="conv2")(r)
         r = NormAct(self.norm, act=False, axis_name=self.axis_name, dtype=dt,
                     name="bn2")(r, train)
         shortcut = x
