@@ -18,6 +18,7 @@ from flax import linen as nn
 
 from ..ops.attention import attention
 from ..ops.conv import Conv3x3
+from ..ops.fused_conv import fused_conv_wanted, gn_affine_coeffs
 from ..ops.groupnorm import group_norm
 
 Array = jax.Array
@@ -73,23 +74,63 @@ class ResnetBlock2D(nn.Module):
         in_channels = x.shape[-1]
         residual = x
 
+        # DIE_TPU_FUSED_CONV=1: fold each GroupNorm(+temb)+SiLU into its
+        # conv as a per-(batch, channel) affine prologue executed inside
+        # the fused Pallas kernel (ops/fused_conv.py) — recovers the
+        # prologue/epilogue fusion that made XLA's conv win e2e while
+        # keeping the 9-shift decomposition's higher MXU rate. The temb
+        # projection folds into the second conv's B coefficient exactly
+        # (no h+temb tensor is materialised). Dropout>0 in train mode
+        # falls back: it sits between norm2 and conv2.
+        itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+        fused1 = fused_conv_wanted(
+            x.shape, in_channels, self.out_channels, itemsize
+        ) and (self.dropout == 0 or deterministic)
+        fused2 = fused_conv_wanted(
+            (x.shape[0], x.shape[1], x.shape[2], self.out_channels),
+            self.out_channels, self.out_channels, itemsize,
+        ) and (self.dropout == 0 or deterministic)
+
         s1 = self.param("norm1_scale", nn.initializers.ones, (in_channels,))
         b1 = self.param("norm1_bias", nn.initializers.zeros, (in_channels,))
-        h = group_norm(x, s1, b1, self.norm_num_groups, self.norm_eps, act="silu")
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        if fused1:
+            a1, c1 = gn_affine_coeffs(
+                x, s1, b1, self.norm_num_groups, self.norm_eps
+            )
+            h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(
+                x, prologue=(a1, c1)
+            )
+        else:
+            h = group_norm(
+                x, s1, b1, self.norm_num_groups, self.norm_eps, act="silu"
+            )
+            h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
 
+        t = None
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
-            h = h + t[:, None, None, :].astype(h.dtype)
+            if not fused2:
+                h = h + t[:, None, None, :].astype(h.dtype)
 
         s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
         b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
-        h = group_norm(h, s2, b2, self.norm_num_groups, self.norm_eps, act="silu")
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        if fused2:
+            a2, c2 = gn_affine_coeffs(
+                h, s2, b2, self.norm_num_groups, self.norm_eps,
+                shift=None if t is None else t.astype(jnp.float32),
+            )
+            h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(
+                h, prologue=(a2, c2)
+            )
+        else:
+            h = group_norm(
+                h, s2, b2, self.norm_num_groups, self.norm_eps, act="silu"
+            )
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
             residual = nn.Conv(

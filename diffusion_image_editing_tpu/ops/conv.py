@@ -259,7 +259,7 @@ class Conv3x3(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, prologue=None) -> Array:
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -268,6 +268,21 @@ class Conv3x3(nn.Module):
         )
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
+        if prologue is not None:
+            # (A, B) per-(batch, channel) affine+SiLU prologue fused into
+            # the conv (ops/fused_conv.py): one VMEM pass does
+            # silu(x*A + B) -> 9 shifted matmuls -> +bias. Caller encodes
+            # GroupNorm (+temb) into (A, B) via gn_affine_coeffs.
+            from .fused_conv import affine_silu_conv3x3
+
+            a_, b_ = prologue
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,)
+                )
+            else:
+                bias = jnp.zeros((self.features,), jnp.float32)
+            return affine_silu_conv3x3(x, a_, b_, kernel.astype(dtype), bias)
         y = conv3x3(x, kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
