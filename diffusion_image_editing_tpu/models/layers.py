@@ -83,9 +83,11 @@ class ResnetBlock2D(nn.Module):
         # (no h+temb tensor is materialised). Dropout>0 in train mode
         # falls back: it sits between norm2 and conv2.
         itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+        # Dropout sits between norm2 and conv2 only, so it gates fused2
+        # alone; conv1 fuses regardless of train/eval mode (ADVICE r4).
         fused1 = fused_conv_wanted(
             x.shape, in_channels, self.out_channels, itemsize
-        ) and (self.dropout == 0 or deterministic)
+        )
         fused2 = fused_conv_wanted(
             (x.shape[0], x.shape[1], x.shape[2], self.out_channels),
             self.out_channels, self.out_channels, itemsize,

@@ -104,7 +104,16 @@ def _int8_min_h() -> int:
 
 
 def snapshot_trace_counts() -> dict:
-    return dict(TRACE_COUNTS)
+    """Census of every conv dispatch path traced so far — including the
+    fused GN+SiLU prologue convs, which enter through Conv3x3(prologue=)
+    and bypass conv3x3() (ADVICE r4: harnesses asserting on this dict
+    alone would not see them)."""
+    from . import fused_conv
+
+    out = dict(TRACE_COUNTS)
+    out["fused_pallas"] = fused_conv.TRACE_COUNTS["pallas"]
+    out["fused_fallback"] = fused_conv.TRACE_COUNTS["fallback"]
+    return out
 
 
 def conv_mode() -> str:

@@ -84,15 +84,19 @@ def gn_affine_coeffs(
     n, h, w, c = x.shape
     g = num_groups
     xf = x.astype(jnp.float32)
+    # Two-pass moments (E[(x-mean)^2], the `group_norm` reference form), NOT
+    # E[x^2]-E[x]^2 which cancels catastrophically for large-mean
+    # activations (ADVICE r4). The per-(b,c) shift folds in exactly via the
+    # law of total variance over the group: a per-channel constant moves
+    # that channel's mean but not its spatial variance, so
+    #   var_g = mean_c(var_c + (mean_c + t_c - mu_g)^2).
     mean_bc = jnp.mean(xf, axis=(1, 2))  # (n, c)
-    msq_bc = jnp.mean(jnp.square(xf), axis=(1, 2))
+    var_bc = jnp.mean(jnp.square(xf - mean_bc[:, None, None, :]), axis=(1, 2))
     if shift is not None:
-        t = shift.astype(jnp.float32)
-        msq_bc = msq_bc + 2.0 * t * mean_bc + jnp.square(t)
-        mean_bc = mean_bc + t
+        mean_bc = mean_bc + shift.astype(jnp.float32)
     mu_g = jnp.mean(mean_bc.reshape(n, g, c // g), axis=2)  # (n, g)
-    m2_g = jnp.mean(msq_bc.reshape(n, g, c // g), axis=2)
-    var_g = jnp.maximum(m2_g - jnp.square(mu_g), 0.0)
+    dev = mean_bc.reshape(n, g, c // g) - mu_g[:, :, None]
+    var_g = jnp.mean(var_bc.reshape(n, g, c // g) + jnp.square(dev), axis=2)
     rstd = jax.lax.rsqrt(var_g + eps)  # (n, g)
     rstd_bc = jnp.repeat(rstd, c // g, axis=1)  # (n, c)
     mu_bc = jnp.repeat(mu_g, c // g, axis=1)
@@ -108,10 +112,16 @@ def gn_affine_coeffs(
 
 
 def _pick_tile(c: int, cap: int) -> int:
-    for t in (512, 448, 384, 320, 256, 192, 160, 128, 96, 64, 32, 16, 8):
+    # Lane-tiling alignment (ADVICE r4): a channel tile that only PARTIALLY
+    # covers its dimension must be a multiple of 128 (Mosaic's lane width)
+    # or compilation/padding breaks on the real chip — interpret-mode tests
+    # can't catch it. The full dimension is always a legal (padded) block.
+    if c <= cap:
+        return c
+    for t in (512, 384, 256, 128):
         if t <= cap and c % t == 0:
             return t
-    return c
+    return c  # over-cap full dim; the VMEM check in _plan decides
 
 
 def _plan(shape, cin, cout, esize) -> Optional[Tuple[int, int]]:
@@ -121,8 +131,12 @@ def _plan(shape, cin, cout, esize) -> Optional[Tuple[int, int]]:
     f32 prologue intermediates, the f32 accumulator scratch and the out
     block. Rows (h*w) must be sublane-friendly and small enough that the
     full-spatial accumulator fits — H in {8..64} covers every UNet body
-    stage and the 64px VAE stage; H >= 128 already belongs to the int8
-    window (ops/conv.py)."""
+    stage and the 64px VAE stage. The h > 64 rejection also guarantees
+    disjointness from the int8_large window at its default/measured gate
+    (H >= 128, ops/conv.py) — no shape sees both dispatchers; A/B sweeps
+    that lower DIE_TPU_INT8_MIN_H below 64 must not also set
+    DIE_TPU_FUSED_CONV=1 (the fused prologue path bypasses conv3x3()
+    entirely, so int8 would silently never fire on those shapes)."""
     b, h, w, c = shape
     if h < 4 or w < 4 or h > 64 or w > 64 or (h * w) % 8 != 0:
         return None

@@ -92,15 +92,55 @@ def test_fused_vjp_matches_autodiff():
         np.testing.assert_allclose(gf, gr, rtol=5e-4, atol=5e-4)
 
 
+def test_coeffs_stable_at_large_mean():
+    """x ~ N(50, 1): the one-pass E[x^2]-E[x]^2 form cancels catastrophically
+    here (ADVICE r4); the two-pass form must stay at normal tolerance."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (2, 8, 8, 16), jnp.float32) + 50.0
+    scale = jnp.ones((16,)) * 1.3
+    bias = jnp.ones((16,)) * 0.1
+    shift = jnp.full((2, 16), 25.0) + jax.random.normal(
+        jax.random.fold_in(key, 1), (2, 16)
+    )
+    for sh in (None, shift):
+        a, b = gn_affine_coeffs(x, scale, bias, 4, 1e-6, shift=sh)
+        got = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+        xs = x if sh is None else x + sh[:, None, None, :]
+        want = group_norm_reference(xs, scale, bias, 4, 1e-6, act=None)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_plan_tiles_are_lane_aligned():
+    """Every plan's channel tiles must be multiples of 128 or the full dim
+    (Mosaic lane tiling, ADVICE r4) — partial non-aligned blocks compile in
+    interpret mode but break on the chip."""
+    for shape, cin, cout in [
+        ((2, 32, 32, 640), 640, 640),
+        ((2, 16, 16, 1280), 1280, 1280),
+        ((2, 16, 16, 2560), 2560, 1280),
+        ((1, 64, 64, 512), 512, 512),
+        ((1, 32, 32, 256), 256, 256),
+    ]:
+        plan = _plan(shape, cin, cout, 2)
+        assert plan is not None, shape
+        ct_in, ct_out = plan
+        assert ct_in % 128 == 0 or ct_in == cin, (shape, plan)
+        assert ct_out % 128 == 0 or ct_out == cout, (shape, plan)
+        assert cin % ct_in == 0 and cout % ct_out == 0, (shape, plan)
+
+
 def test_plan_rejects_large_spatial():
     # H >= 128 belongs to the int8 window; the fused plan must decline.
     assert _plan((1, 128, 128, 512), 512, 512, 2) is None
     assert _plan((1, 512, 512, 128), 128, 128, 2) is None
-    # UNet body stages must plan.
+    # UNet body stages with 128-aligned channel tiles must plan.
     assert _plan((2, 32, 32, 640), 640, 640, 2) is not None
     assert _plan((2, 16, 16, 1280), 1280, 1280, 2) is not None
     assert _plan((2, 16, 16, 2560), 2560, 1280, 2) is not None
-    assert _plan((2, 64, 64, 320), 320, 320, 2) is not None
+    # 320 channels has no 128-multiple divisor and the full-dim block at
+    # 64x64 spatial needs ~28 MB > VMEM — falls back to XLA by design
+    # (lane-tiling alignment, ADVICE r4).
+    assert _plan((2, 64, 64, 320), 320, 320, 2) is None
 
 
 def test_resnet_block_fused_path_matches(monkeypatch):
