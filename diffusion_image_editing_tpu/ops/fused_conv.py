@@ -196,6 +196,12 @@ def _pallas_fwd(x: Array, a: Array, b: Array, w: Array, bias: Array,
     ct_in, ct_out = plan
     n_ci, n_co = cin // ct_in, cout // ct_out
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # (n, 1, c) so each block's LAST TWO dims are (1 == full dim, ct):
+    # Mosaic requires block minors divide (8, 128) or equal the array dim —
+    # a (1, ct) block over (n, c) is illegal for n > 1 (chip-only failure,
+    # caught by scripts/smoke_fused_conv_chip.py; interpret mode can't).
+    a3 = a.reshape(n, 1, cin)
+    b3 = b.reshape(n, 1, cin)
     bias2 = bias.reshape(1, cout)
     mxu_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     kernel = functools.partial(
@@ -207,8 +213,8 @@ def _pallas_fwd(x: Array, a: Array, b: Array, w: Array, bias: Array,
         in_specs=[
             pl.BlockSpec((1, h + 2, wd + 2, ct_in),
                          lambda bi, co, ci: (bi, 0, 0, ci)),
-            pl.BlockSpec((1, ct_in), lambda bi, co, ci: (bi, ci)),
-            pl.BlockSpec((1, ct_in), lambda bi, co, ci: (bi, ci)),
+            pl.BlockSpec((1, 1, ct_in), lambda bi, co, ci: (bi, 0, ci)),
+            pl.BlockSpec((1, 1, ct_in), lambda bi, co, ci: (bi, 0, ci)),
             pl.BlockSpec((3, 3, ct_in, ct_out),
                          lambda bi, co, ci: (0, 0, ci, co)),
             pl.BlockSpec((1, ct_out), lambda bi, co, ci: (0, co)),
@@ -221,7 +227,7 @@ def _pallas_fwd(x: Array, a: Array, b: Array, w: Array, bias: Array,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, a, b, w.astype(mxu_dtype), bias2)
+    )(xp, a3, b3, w.astype(mxu_dtype), bias2)
 
 
 def _jnp_fwd(x: Array, a: Array, b: Array, w: Array, bias: Array) -> Array:

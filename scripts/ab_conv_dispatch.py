@@ -54,13 +54,21 @@ def main():
         # trace-time, so each variant's programs capture their own flags.
         mode = v
         os.environ["DIE_TPU_INT8_BWD"] = "0"
+        os.environ["DIE_TPU_FUSED_CONV"] = "0"
         if mode.endswith("+bwd"):
             mode = mode[: -len("+bwd")]
             os.environ["DIE_TPU_INT8_BWD"] = "1"
         if "@" in mode:
             mode, min_h = mode.split("@")
             os.environ["DIE_TPU_INT8_MIN_H"] = min_h
-        os.environ["DIE_TPU_CONV"] = mode
+        if mode == "fused":
+            # GN+SiLU->conv Pallas prologue fusion (ops/fused_conv.py) on the
+            # H<=64 window, exact-path conv (auto = XLA) everywhere else.
+            # Trace-time like every DIE_TPU_* flag.
+            os.environ["DIE_TPU_FUSED_CONV"] = "1"
+            os.environ["DIE_TPU_CONV"] = "auto"
+        else:
+            os.environ["DIE_TPU_CONV"] = mode
         denoise_step, guidance_nudge, eps_fn, decode_fn, attr, xt, sched = (
             build_edit_step(False, models=models)
         )
@@ -89,6 +97,13 @@ def main():
             # the gated mode must split: int8 on H>=32, xla below
             raise RuntimeError(
                 f"int8_large census not mixed ({delta}) — A/B invalid")
+        if mode == "fused" and not delta.get("fused_pallas"):
+            raise RuntimeError(
+                f"fused variant traced no fused Pallas convs ({delta}) — "
+                "A/B invalid")
+        if mode != "fused" and delta.get("fused_pallas"):
+            raise RuntimeError(
+                f"{v} traced fused Pallas convs ({delta}) — A/B invalid")
         # (The decisive 2026-08-17 run used the pre-decision auto rule —
         # shift9 on 256<=rows<=32768 — census {'shift9': 53, 'xla': 29};
         # auto has since been set to the e2e winner, XLA everywhere.)
