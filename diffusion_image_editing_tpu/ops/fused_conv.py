@@ -40,6 +40,17 @@ Dispatch: opt-in via DIE_TPU_FUSED_CONV=1 (trace-time, like every DIE_TPU_*
 flag) until a full-workload A/B on the chip decides `auto` — standalone
 wins have lost e2e three times in this repo (shift9, Pallas GN, int8 at
 gates 32/64); only interleaved end-to-end measurements promote a path.
+
+RESULT (v5e, 2026-08-19, census-verified interleaved e2e A/B,
+`AB_CONV_VARIANTS=xla,fused scripts/ab_conv_dispatch.py`): **negative #4**.
+On the 512px guided edit the fused kernel (43 of 82 convs through Pallas,
+all H<=64 UNet stages) runs 72.85 ms/step vs XLA's 69.87 — a 4.3% e2e
+LOSS despite the chip smoke test confirming every planned shape compiles
+and matches reference numerics (f32 <=6e-7, bf16 <=5e-3,
+scripts/smoke_fused_conv_chip.py). The mechanism is now measured three
+ways: XLA's conv epilogue fusion also covers the residual-add and the
+NEXT op's prologue, which a kernel-boundary conv can never capture.
+`auto` therefore stays XLA on every shape; this kernel remains opt-in.
 """
 
 from __future__ import annotations

@@ -23,6 +23,13 @@ separately at 85.19. The winning gate quantizes ONLY the guidance decode's
 H>=128 stages (22 of 82 convs); default DIE_TPU_INT8_MIN_H is now 128.
 Opt-in regardless (approximate forward).
 
+RESULT (v5e, 2026-08-19, fused GN+SiLU->conv Pallas kernel, census-verified
+xla 82 convs vs fused 39 xla + 43 pallas): xla 69.87 ms/step (14.31
+steps/s), fused 72.85 ms/step (13.73) — negative #4, 4.3% e2e loss on the
+exact headline despite correct numerics at every planned shape
+(scripts/smoke_fused_conv_chip.py, chip-passed same day). Dispatch
+decision: auto stays XLA everywhere; DIE_TPU_FUSED_CONV stays opt-in.
+
 Run on the chip:  python scripts/ab_conv_dispatch.py
 Variant syntax:   AB_CONV_VARIANTS=xla,int8_large@64,int8_large@128
 """
