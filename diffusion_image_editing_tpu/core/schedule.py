@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 Array = jax.Array
@@ -67,33 +68,41 @@ def _inference_timesteps(
     num_inference_steps: int,
     timestep_spacing: str,
     steps_offset: int,
-) -> Array:
+) -> np.ndarray:
+    """HOST (numpy) by design: the step list is control-flow data — it drives
+    host loops (`engine/edit.py`, `engine/invert.py`) and chunking decisions,
+    never device compute. Keeping it in HBM made every `np.asarray(
+    sched.timesteps)` in those loops a device-to-host readback, which through
+    the axon relay costs the fixed ~23.5 ms sync latency per call (CLAUDE.md
+    rule 2) — pure waste on the e2e paths. Inside jit (sched as argument or
+    captured) a numpy leaf traces/constant-folds exactly like a jnp one."""
     if timestep_spacing == "leading":
         step_ratio = num_train_timesteps // num_inference_steps
-        ts = (jnp.arange(0, num_inference_steps) * step_ratio).round()[::-1]
-        ts = ts.astype(jnp.int32) + steps_offset
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+        ts = ts.astype(np.int32) + steps_offset
     elif timestep_spacing == "trailing":
         step_ratio = num_train_timesteps / num_inference_steps
-        ts = jnp.round(jnp.arange(num_train_timesteps, 0, -step_ratio)).astype(jnp.int32)
+        ts = np.round(np.arange(num_train_timesteps, 0, -step_ratio)).astype(np.int32)
         ts = ts - 1
     elif timestep_spacing == "linspace":
-        ts = jnp.linspace(0, num_train_timesteps - 1, num_inference_steps)
-        ts = jnp.round(ts)[::-1].astype(jnp.int32)
+        ts = np.linspace(0, num_train_timesteps - 1, num_inference_steps)
+        ts = np.round(ts)[::-1].astype(np.int32)
     else:
         raise ValueError(f"Unknown timestep spacing: {timestep_spacing!r}")
-    return ts
+    return np.ascontiguousarray(ts)
 
 
 class Schedule(struct.PyTreeNode):
     """Precomputed diffusion schedule: a pytree, safe to close over or pass to jit.
 
     `timesteps` is descending (noisiest first), matching the denoising order of
-    the reference's `diffusion_loop` (`src/diffusion_utils.py:112-133`).
+    the reference's `diffusion_loop` (`src/diffusion_utils.py:112-133`), and
+    lives on the HOST (numpy int32) — see `_inference_timesteps` for why.
     """
 
     alphas_cumprod: Array  # (T,) float32
     final_alpha_cumprod: Array  # () float32 — used when prev_timestep < 0
-    timesteps: Array  # (S,) int32, descending
+    timesteps: Array  # (S,) int32, descending — HOST numpy (see _inference_timesteps)
     num_train_timesteps: int = struct.field(pytree_node=False)
     num_inference_steps: int = struct.field(pytree_node=False)
     clip_sample: bool = struct.field(pytree_node=False)

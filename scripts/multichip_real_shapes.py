@@ -72,20 +72,27 @@ def avals(tree):
     )
 
 
-def build(mesh):
-    unet = UNet2DCondition(SD15_UNET)
-    vae = AutoencoderKL(SD_VAE)
+def build(mesh, dtype=jnp.float32):
+    """dtype=jnp.bfloat16 lowers the PRODUCTION program (bench/_build_models
+    runs the chip in bf16): comm bytes in the census then reflect what would
+    actually ship over ICI (VERDICT r4 item 8). The f32 default stays the
+    census-pinned reference module (collective COUNTS are identical — GSPMD
+    sharding doesn't depend on element type — only payload bytes change)."""
+    unet = UNet2DCondition(SD15_UNET, dtype=dtype)
+    vae = AutoencoderKL(SD_VAE, dtype=dtype)
     k = jax.random.PRNGKey(0)
     uparams = jax.eval_shape(
         lambda: unet.init(
-            k, jnp.zeros((1, LATENT, LATENT, 4)), jnp.int32(0),
-            jnp.zeros((1, CTX_LEN, CTX_DIM)),
+            k, jnp.zeros((1, LATENT, LATENT, 4), dtype), jnp.int32(0),
+            jnp.zeros((1, CTX_LEN, CTX_DIM), dtype),
         )
     )
     vparams = jax.eval_shape(
-        lambda: vae.init(k, jnp.zeros((1, SD_VAE.sample_size, SD_VAE.sample_size, 3)))
+        lambda: vae.init(
+            k, jnp.zeros((1, SD_VAE.sample_size, SD_VAE.sample_size, 3), dtype)
+        )
     )
-    text_emb = jax.ShapeDtypeStruct((2, CTX_LEN, CTX_DIM), jnp.float32)
+    text_emb = jax.ShapeDtypeStruct((2, CTX_LEN, CTX_DIM), dtype)
     eps_fn = make_sharded_cfg_eps_fn(unet.apply, uparams, text_emb, 3.5, mesh)
     vae_apply = vae.apply
     # The decode runs batch-1 (no CFG pair): split H over the WHOLE mesh

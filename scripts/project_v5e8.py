@@ -77,26 +77,27 @@ EFF_BAND = (0.75, 1.0)        # per-device tile efficiency vs measured blend
 EXPOSE_BAND = (0.25, 1.0)     # fraction of comm time not hidden by compute
 
 
-def compile_step(sharded: bool):
+def compile_step(sharded: bool, dtype=jnp.float32):
     if sharded:
         mesh = cfg_mesh(cfg=2, sp=4)
-        eps_fn, dec_fn = build(mesh)
+        eps_fn, dec_fn = build(mesh, dtype=dtype)
     else:
-        unet = UNet2DCondition(SD15_UNET)
-        vae = AutoencoderKL(SD_VAE)
+        unet = UNet2DCondition(SD15_UNET, dtype=dtype)
+        vae = AutoencoderKL(SD_VAE, dtype=dtype)
         k = jax.random.PRNGKey(0)
         uparams = jax.eval_shape(
             lambda: unet.init(
-                k, jnp.zeros((1, LATENT, LATENT, 4)), jnp.int32(0),
-                jnp.zeros((1, 77, 768)),
+                k, jnp.zeros((1, LATENT, LATENT, 4), dtype), jnp.int32(0),
+                jnp.zeros((1, 77, 768), dtype),
             )
         )
         vparams = jax.eval_shape(
             lambda: vae.init(
-                k, jnp.zeros((1, SD_VAE.sample_size, SD_VAE.sample_size, 3))
+                k, jnp.zeros((1, SD_VAE.sample_size, SD_VAE.sample_size, 3),
+                             dtype)
             )
         )
-        text_emb = jax.ShapeDtypeStruct((2, 77, 768), jnp.float32)
+        text_emb = jax.ShapeDtypeStruct((2, 77, 768), dtype)
         eps_fn = CfgEpsClosure(unet.apply, uparams, text_emb, 3.5)
         vae_apply = vae.apply
         dec_fn = DecodeClosure(
@@ -116,8 +117,11 @@ def compile_step(sharded: bool):
 def main():
     assert len(jax.devices()) == 8
 
-    print("compiling sharded cfg2 x sp4 step...", flush=True)
-    comp8 = compile_step(sharded=True)
+    print("compiling sharded cfg2 x sp4 step (production bf16)...", flush=True)
+    comp8 = compile_step(sharded=True, dtype=jnp.bfloat16)
+    print("compiling sharded cfg2 x sp4 step (f32 census reference)...",
+          flush=True)
+    comp8_f32 = compile_step(sharded=True)
     print("compiling unsharded step...", flush=True)
     comp1 = compile_step(sharded=False)
 
@@ -127,8 +131,16 @@ def main():
     cost1 = cost1[0] if isinstance(cost1, (list, tuple)) else cost1
     f_dev, f_1 = float(cost8["flops"]), float(cost1["flops"])
 
+    # Comm bytes from the PRODUCTION bf16 module (VERDICT r4 item 8: the
+    # round-4 projection counted the f32 module's bytes — conservative 2x).
+    # The f32 module stays the census-count reference: GSPMD sharding does
+    # not depend on element type, so counts must match (asserted below).
     coll, coll_bytes = census(comp8.as_text())
+    coll_f32, coll_bytes_f32 = census(comp8_f32.as_text())
+    assert coll == coll_f32, (
+        f"bf16/f32 collective counts diverge: {coll} vs {coll_f32}")
     comm_bytes = float(sum(coll_bytes.values()))
+    comm_bytes_f32 = float(sum(coll_bytes_f32.values()))
     halo_overhead = 8.0 * f_dev / f_1
 
     # Projected per-device compute time, anchored to the measured step
@@ -174,8 +186,13 @@ def main():
         },
         "comm": {
             "bytes_per_device_per_step_mb": round(comm_bytes / 2**20, 2),
+            "bytes_f32_reference_mb": round(comm_bytes_f32 / 2**20, 2),
+            "module_dtype": "bf16 (production; f32 kept as census reference)",
             "time_ms_band": [round(c, 3) for c in comm_ms],
             "exposed_ms_band": [round(x, 3) for x in exposed_ms],
+            "exposure_assumption": "25-100% of comm time exposed (XLA "
+            "async-overlap unvalidated on real multi-chip hardware — no "
+            "8-chip slice in this environment; quote the band, not a point)",
             "ici_link_bps": ICI_LINK_BPS,
         },
         "projection": {
@@ -190,7 +207,7 @@ def main():
         },
     }
     print(json.dumps(report, indent=2))
-    with open("/root/repo/MULTICHIP_PROJECTION_r04.json", "w") as f:
+    with open("/root/repo/MULTICHIP_PROJECTION_r05.json", "w") as f:
         json.dump(report, f, indent=2)
 
     lo, hi = e2e_s
