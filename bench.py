@@ -385,6 +385,10 @@ def phase_e2e_seg(tiny, models, reps=2, fast=False):
         xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
             x, eta=1.0, inversion_method="ddpm", classes=[17],
             key=key, mode="batched",
+            # the edit below skips the first t_skip steps; suffix-only
+            # z-extraction drops t_skip/S of the inversion UNet work
+            # exactly (timestep independence — engine.invert)
+            t_skip=t_skip,
         )
         out = pipe.edit_image(
             xt, eta=1.0, zs=zs, xts=xts, mask=mask, attr_func=attr,

@@ -124,6 +124,9 @@ def cmd_edit(args):
         classes=args.classes, dilate_mask=args.dilate_mask,
         prompt_ids=prompt_ids, cfg_scale=args.cfg_scale,
         key=jax.random.PRNGKey(args.seed),
+        # the edit below skips the first t_skip steps — suffix-only
+        # z-extraction (exact; see prepare_real_image_edit docstring)
+        t_skip=args.t_skip if args.inversion_method == "ddpm" else None,
     )
     out = pipe.edit_image(
         xt, eta=args.eta, zs=zs, xts=xts, mask=mask, attr_func=attr,

@@ -241,11 +241,17 @@ def ddpm_invert_split(
     eta: float = 1.0,
     key: Optional[Array] = None,
     xts: Optional[Array] = None,
+    start: int = 0,
 ) -> InversionResult:
     """`ddpm_invert` as a host loop over one jitted step (identical math:
-    same read-ahead-of-write update order as the scan carry)."""
+    same read-ahead-of-write update order as the scan carry). `start=k`
+    extracts z only for timestep indices >= k (see `ddpm_invert_batched`);
+    the returned `zs[:k]` are zeros and `xts[1:k+1]` stay raw-sampled."""
     n = sched.num_inference_steps
     ts = _np.asarray(sched.timesteps)
+    start = int(start)
+    if not 0 <= start < n:
+        raise ValueError(f"start must be in [0, {n}), got {start}")
 
     if eta == 0:
         x = x0
@@ -259,13 +265,16 @@ def ddpm_invert_split(
         xts = sample_xts(sched, x0, key)
 
     zs_rev = []
-    for idx in range(n - 1, -1, -1):
+    for idx in range(n - 1, start - 1, -1):
         xts, z = _ddpm_invert_step_traj(
             sched, eps_fn, xts, jnp.int32(idx), jnp.int32(ts[idx]), jnp.float32(eta)
         )
         zs_rev.append(z)
     zs = jnp.stack(zs_rev[::-1])
     zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
+    if start:
+        zs = jnp.concatenate(
+            [jnp.zeros((start,) + zs.shape[1:], zs.dtype), zs], axis=0)
     return InversionResult(xts[0], zs, xts)
 
 
@@ -298,6 +307,7 @@ def ddpm_invert_batched(
     key: Optional[Array] = None,
     xts: Optional[Array] = None,
     chunk: int = 10,
+    start: int = 0,
 ) -> InversionResult:
     """Edit-friendly DDPM inversion with the z-extraction PARALLELIZED across
     timesteps — the TPU-first form of `inversion_forward_process`
@@ -316,6 +326,17 @@ def ddpm_invert_batched(
 
     `chunk` bounds UNet activation memory (group batch = chunk * B).
 
+    `start=k` extracts z only for timestep indices >= k — the t_skip
+    editing flow (`SegDiffEditPipeline.py:202-213`) consumes only
+    `zs[t_skip:]` and `xts[t_skip]`, and timestep independence (above)
+    makes the skipped rows pure waste: k/S of the inversion UNet work
+    (20% at the reference's t_skip=10, S=50) vanishes EXACTLY. Returned
+    `zs[:k]` are zeros (never read by an edit with t_skip >= k) and
+    `xts[1:k+1]` keep their raw sampled values instead of the eq.-3
+    identity-corrected ones (equal in exact arithmetic; suffix rows > k
+    match a full run's up to batch-regrouping fp reassociation, the same
+    ~1e-4 bound as batched-vs-split).
+
     Status: math-parity tested against `ddpm_invert` (CPU, fp-reassociation
     tolerance). On the current v5e relay, end-to-end timings of this program
     were NOT reproducibly better than the split host loop (single-program
@@ -333,18 +354,22 @@ def ddpm_invert_batched(
 
     b = x0.shape[0]
     sample_shape = x0.shape[1:]
+    start = int(start)
+    if not 0 <= start < n:
+        raise ValueError(f"start must be in [0, {n}), got {start}")
+    n_ext = n - start  # timestep pairs actually extracted
     if int(chunk) < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
-    chunk = min(int(chunk), n)
+    chunk = min(int(chunk), n_ext)
     group = chunk * b
-    total = n * b
+    total = n_ext * b
     pad = (-total) % group
 
     # (S, B, ...) -> (S*B, ...) with per-pair timesteps; pad the tail group
     # by repeating row 0 (results discarded).
-    x_flat = xts[:-1].reshape((total,) + sample_shape)
-    xn_flat = xts[1:].reshape((total,) + sample_shape)
-    ts_flat = jnp.repeat(sched.timesteps, b)
+    x_flat = xts[start:-1].reshape((total,) + sample_shape)
+    xn_flat = xts[start + 1:].reshape((total,) + sample_shape)
+    ts_flat = jnp.repeat(jnp.asarray(sched.timesteps[start:]), b)
     if pad:
         x_flat = jnp.concatenate([x_flat, jnp.repeat(x_flat[:1], pad, axis=0)])
         xn_flat = jnp.concatenate([xn_flat, jnp.repeat(xn_flat[:1], pad, axis=0)])
@@ -358,9 +383,14 @@ def ddpm_invert_batched(
         )
         zs_parts.append(z_g)
         xtm1_parts.append(xtm1_g)
-    zs = jnp.concatenate(zs_parts, axis=0)[:total].reshape((n, b) + sample_shape)
-    xtm1 = jnp.concatenate(xtm1_parts, axis=0)[:total].reshape((n, b) + sample_shape)
+    zs = jnp.concatenate(zs_parts, axis=0)[:total].reshape(
+        (n_ext, b) + sample_shape)
+    xtm1 = jnp.concatenate(xtm1_parts, axis=0)[:total].reshape(
+        (n_ext, b) + sample_shape)
 
     zs = zs.at[-1].set(jnp.zeros_like(zs[-1]))  # ddpm_inversion.py:172
-    xts_out = jnp.concatenate([xts[:1], xtm1], axis=0)
+    if start:
+        zs = jnp.concatenate(
+            [jnp.zeros((start, b) + sample_shape, zs.dtype), zs], axis=0)
+    xts_out = jnp.concatenate([xts[: start + 1], xtm1], axis=0)
     return InversionResult(xts_out[0], zs, xts_out)

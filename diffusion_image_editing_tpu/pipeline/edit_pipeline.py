@@ -178,8 +178,19 @@ class EditPipeline:
         key: Optional[Array] = None,
         mode: Optional[str] = None,
         refine_iters: int = 0,
+        t_skip: Optional[int] = None,
     ):
         """Invert a real image for editing (`SegDiffEditPipeline.py:152-200`).
+
+        t_skip (DDPM split/batched modes): if the subsequent `edit_image`
+        call will skip the first `t_skip` steps (the reference's t_skip
+        flow, `SegDiffEditPipeline.py:202-213` — it reads only
+        `xts[t_skip]` and `zs[t_skip:]`), pass it here too and the
+        inversion extracts z only for the consumed suffix — t_skip/S of
+        the inversion UNet work (20% at the reference recipe) is skipped
+        EXACTLY (timestep independence; see `engine.invert.
+        ddpm_invert_batched`). `zs[:t_skip]` come back zero-filled and
+        `xts[1:t_skip+1]` raw-sampled; both are unread downstream.
 
         refine_iters=m>0 (DDIM only): m fixed-point refinements per
         inversion step toward the EXACT inverse (see `engine.invert.
@@ -221,14 +232,19 @@ class EditPipeline:
         elif inversion_method == "ddpm":
             if key is None:
                 key = jax.random.PRNGKey(0)
+            # clamp like jnp's out-of-bounds indexing does for xts[t_skip]
+            # (the CLI's default t_skip exceeds n at small --steps)
+            start = min(max(int(t_skip or 0), 0), sched.num_inference_steps - 1)
             if mode == "split":
-                res = I.ddpm_invert_split(sched, eps_fn, latent, eta=eta, key=key)
+                res = I.ddpm_invert_split(sched, eps_fn, latent, eta=eta,
+                                          key=key, start=start)
             elif mode == "batched":
                 # Timestep-parallel z-extraction (independent timesteps as
                 # chunked flat-batched UNet calls) — 12% faster than split on
                 # the v5e SD path (interleaved A/B, PARITY.md). Heavier
                 # per-call activations; validated at 64x64 latents.
-                res = I.ddpm_invert_batched(sched, eps_fn, latent, eta=eta, key=key)
+                res = I.ddpm_invert_batched(sched, eps_fn, latent, eta=eta,
+                                            key=key, start=start)
             else:
                 res = _jit_ddpm_invert(sched, eps_fn, latent, key, eta=eta)
             xt, zs, xts = res.xt, res.zs, res.xts

@@ -359,7 +359,10 @@ def seg_block(tiny, models, exact_img_shape):
 
     RESULTS["e2e_seg_fast_vs_exact"] = {
         "final_image_psnr_db": _psnr(fa, ex),
-        "psnr_inside_edit_mask_db": _psnr(fa[inside], ex[inside]),
+        # random-weight BiSeNet can yield an empty (or full) class mask —
+        # guard both selections (the tiny CPU run hit the empty side)
+        "psnr_inside_edit_mask_db": _psnr(fa[inside], ex[inside])
+        if inside.any() else None,
         "psnr_outside_edit_mask_db": _psnr(fa[~inside], ex[~inside])
         if (~inside).any() else None,
         "bisenet_parse_agreement": agree,

@@ -323,6 +323,70 @@ def test_ddpm_invert_batched_matches_scan():
         )
 
 
+def test_ddpm_invert_suffix_start_matches_full():
+    """start=k (suffix-only z-extraction for the t_skip flow) must agree
+    with the full inversion on everything the edit consumes: zs[k:] and
+    xts[k:] (fp-reassociation tolerance — group boundaries shift), with
+    zs[:k] zero-filled. Covers both the batched and the split form."""
+    from diffusion_image_editing_tpu.engine import (
+        ddpm_invert_batched,
+        ddpm_invert_split,
+    )
+
+    sched, eps_fn = _setup()
+    x0 = jax.random.normal(jax.random.PRNGKey(50), (1, 16, 16, 3)) * 0.1
+    key = jax.random.PRNGKey(51)
+    k = 3
+    full = ddpm_invert_batched(sched, eps_fn, x0, eta=1.0, key=key, chunk=4)
+    for fn in (ddpm_invert_batched, ddpm_invert_split):
+        kw = {"chunk": 4} if fn is ddpm_invert_batched else {}
+        got = fn(sched, eps_fn, x0, eta=1.0, key=key, start=k, **kw)
+        assert got.zs.shape == full.zs.shape
+        assert got.xts.shape == full.xts.shape
+        np.testing.assert_allclose(
+            np.asarray(got.zs[k:]), np.asarray(full.zs[k:]),
+            rtol=3e-4, atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.xts[k:]), np.asarray(full.xts[k:]),
+            rtol=3e-4, atol=3e-4,
+        )
+        assert np.asarray(got.zs[:k]).max() == 0.0
+
+
+def test_prepare_real_image_edit_tskip_same_edit_result():
+    """Through the pipeline API: prepare(t_skip=k) + edit(t_skip=k) must
+    produce the same edited image as prepare() + edit(t_skip=k) — the
+    skipped rows are provably unread."""
+    from diffusion_image_editing_tpu.pipeline.edit_pipeline import EditPipeline
+    from diffusion_image_editing_tpu.pipeline.wrappers import DiffusionWrapper
+
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    w = DiffusionWrapper(model, params, sched)
+    pipe = EditPipeline(w)
+    img = jax.random.uniform(jax.random.PRNGKey(52), (1, 16, 16, 3)) * 2 - 1
+    key = jax.random.PRNGKey(53)
+    k = 2
+    attr = SingleColorAttrFunc(target=0.9, color_idx=0, loss_scale=5.0,
+                               t1=0, t2=STEPS)
+    outs = []
+    for t_skip_prep in (None, k):
+        xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
+            img, eta=1.0, inversion_method="ddpm", key=key,
+            mode="batched", t_skip=t_skip_prep,
+        )
+        out = pipe.edit_image(
+            xt, eta=1.0, zs=zs, xts=xts, inversion_method="ddpm",
+            t_skip=k, resynthesize=False, key=key, collect=False,
+            mode="split", attr_func=attr, mask=None, x0_ref=None,
+        )
+        outs.append(np.asarray(out.imgs))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=3e-4, atol=3e-4)
+
+
 def test_apply_batched_chunked_vjp_matches_serialized():
     """vjp_chunk > 1 vmaps k samples per guidance VJP (lax.map batch_size).
     Per-sample loss normalization must be preserved under vmap: chunked
