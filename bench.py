@@ -305,7 +305,8 @@ def phase_e2e(tiny, models, reps=2):
             x = guidance_nudge(decode_fn, attr, x, eps, jnp.int32(t), jnp.int32(i))
         return x
 
-    return _timed_pass(run_pass, xt * 0.5, xt * 0.1, reps)
+    # min like e2e_seg: each pass syncs anyway, stalls only ever inflate
+    return _timed_pass(run_pass, xt * 0.5, xt * 0.1, reps, reduce="min")
 
 
 def phase_e2e_seg(tiny, models, reps=2, fast=False):

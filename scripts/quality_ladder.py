@@ -80,10 +80,32 @@ def _set_env(conv="auto", bwd=False, fused=False):
     os.environ["DIE_TPU_FUSED_CONV"] = "1" if fused else "0"
 
 
-def main(tiny: bool):
+def seg_only(tiny: bool):
+    """Re-run just the seg composition block, merging into the record."""
+    from bench import _build_models
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "QUALITY_LADDER_r05.json")
+    if os.path.exists(path):
+        RESULTS.update(json.load(open(path)))
+    _set_env()
+    models = _build_models(tiny)
+    seg_block(tiny, models, exact_img_shape=None)
+    _save()
+    print("[ladder] DONE (seg-only)", flush=True)
+
+
+def main(tiny: bool, decode_only: bool = False):
     from bench import STEPS, _build_models, build_edit_step
     from diffusion_image_editing_tpu.engine import ddpm_invert_batched
     from diffusion_image_editing_tpu.guidance import fit_decode_proxy
+
+    if decode_only:
+        # patch mode: merge into the existing record (other entries kept)
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "QUALITY_LADDER_r05.json")
+        if os.path.exists(path):
+            RESULTS.update(json.load(open(path)))
 
     _set_env()  # exact
     models = _build_models(tiny)
@@ -101,8 +123,10 @@ def main(tiny: bool):
     xt_edit = jax.block_until_ready(xt_edit)
 
     def build_variant(name, conv="auto", bwd=False, fused=False,
-                      codec="full"):
-        """Fresh-jit step programs traced immediately under their env."""
+                      codec="full", step=True):
+        """Fresh-jit step programs traced immediately under their env.
+        step=False builds only the decoder program (the --decode-only
+        patch mode)."""
         _set_env(conv=conv, bwd=bwd, fused=fused)
         from diffusion_image_editing_tpu.ops import conv as conv_mod
         from diffusion_image_editing_tpu.ops import fused_conv as fc_mod
@@ -120,18 +144,27 @@ def main(tiny: bool):
             return guidance_nudge(guid_dec, attr, x, eps, t, jnp.int32(i))
 
         before = {**conv_mod.snapshot_trace_counts()}
-        # trace NOW, under this variant's env (one full step compiles both)
-        jax.block_until_ready(one_step(xt_edit, 0))
+        if step:
+            # trace NOW, under this variant's env (one step compiles both)
+            jax.block_until_ready(one_step(xt_edit, 0))
+        # Decode-path metric needs a FRESH jit traced under this env: the
+        # closure's own dispatch is a module-level jit keyed on its stable
+        # apply_fn identity, so calling decode_fn(z) directly after the
+        # exact variant traced it would serve the EXACT program (the first
+        # ladder run measured inf dB for int8 — cache, not quantization).
+        var_decode = jax.jit(lambda z: decode_fn(z))
+        if conv != "auto" or fused:
+            jax.block_until_ready(var_decode(xt_edit))
         delta = {k: v - before.get(k, 0)
                  for k, v in conv_mod.snapshot_trace_counts().items() if
                  v - before.get(k, 0)}
         print(f"[ladder] built {name}: conv census delta {delta}", flush=True)
-        if conv == "int8_large" and not delta.get("int8"):
+        if step and conv == "int8_large" and not delta.get("int8"):
             raise RuntimeError(f"{name}: no int8 convs traced — invalid")
-        if fused and not delta.get("fused_pallas") and not tiny:
+        if step and fused and not delta.get("fused_pallas") and not tiny:
             raise RuntimeError(f"{name}: no fused convs traced — invalid")
         _set_env()
-        return one_step, decode_fn
+        return one_step, var_decode
 
     # ---- exact reference trajectory with checkpoints -----------------------
     exact_step, exact_decode = build_variant("exact")
@@ -145,6 +178,27 @@ def main(tiny: bool):
     states_next = {i: exact_step(states[i], i) for i in CHECK_STEPS}
     exact_img = np.asarray(exact_decode(exact_final))
     print("[ladder] exact trajectory done", flush=True)
+
+    if decode_only:
+        # patch the decode-path metrics (first run's were cache-poisoned —
+        # see build_variant) without re-running the full variant flows
+        for name, kw in (("fused_conv", dict(fused=True)),
+                         ("int8_fwd", dict(conv="int8_large"))):
+            _, var_decode = build_variant(name + "_dec", step=False, **kw)
+            dimg = np.asarray(var_decode(exact_final))
+            patch = {
+                "decode_path_image_psnr_db": _psnr(dimg, exact_img),
+                "decode_path_image_rel_max": _rel(dimg, exact_img)[0],
+            }
+            # the bwd flag doesn't touch the forward decoder: int8_fwd's
+            # decode-path numbers hold for int8_fwd_bwd too
+            for tkey in ([name] if name != "int8_fwd"
+                         else ["int8_fwd", "int8_fwd_bwd"]):
+                RESULTS.setdefault(tkey, {}).update(patch)
+            print(f"[ladder] decode-path {name}: {patch}", flush=True)
+        _save()
+        print("[ladder] DONE (decode-only)", flush=True)
+        return
 
     def run_flow(step):
         x = xt_edit
@@ -325,15 +379,33 @@ def seg_block(tiny, models, exact_img_shape):
     key = jax.random.PRNGKey(3)
     t_skip = STEPS // 5
 
+    # random-weight BiSeNet rarely parses any pixel as class 17 — pick the
+    # DOMINANT parsed class so the edit mask is non-empty and the masked
+    # resynthesize/blend paths are actually exercised (flow is identical;
+    # with real weights this is simply "hair")
+    parsing = np.asarray(seg_model(x_in))
+    edit_cls = int(np.bincount(parsing.reshape(-1), minlength=19).argmax())
+    print(f"[ladder] seg edit class = {edit_cls} "
+          f"({(parsing == edit_cls).mean():.2%} of pixels)", flush=True)
     xt, zs, xts, mask, _ = pipe.prepare_real_image_edit(
-        x_in, eta=1.0, inversion_method="ddpm", classes=[17], key=key,
+        x_in, eta=1.0, inversion_method="ddpm", classes=[edit_cls], key=key,
         mode="batched",
     )
 
     outs = {}
-    for tag, codec, k in (("exact", "full", 1), ("fast", "proxy", 3)):
+    # "control": exact programs on a 1e-6-perturbed start — the chaos
+    # floor the fast-vs-exact delta must be read against (a 40-step
+    # guided flow amplifies ANY per-step perturbation; without this the
+    # composition PSNR mostly measures chaos, not approximation quality)
+    for tag, codec, k, xts_v in (
+        ("exact", "full", 1, xts),
+        # edit_image reads xts[t_skip] as its start state (the passed xt is
+        # overridden when xts is given) — perturb THAT row for the control
+        ("control", "full", 1, xts.at[t_skip].multiply(1.0 + 1e-6)),
+        ("fast", "proxy", 3, xts),
+    ):
         out = pipe.edit_image(
-            xt, eta=1.0, zs=zs, xts=xts, mask=mask, attr_func=attr,
+            xt, eta=1.0, zs=zs, xts=xts_v, mask=mask, attr_func=attr,
             inversion_method="ddpm", t_skip=t_skip, resynthesize=True,
             key=key, collect=False, mode="split", guidance_codec=codec,
             encoder_reuse=k,
@@ -357,8 +429,14 @@ def seg_block(tiny, models, exact_img_shape):
         seg_logits(sparams, jnp.asarray(im)), axis=-1))
     agree = float(np.mean(np.asarray(parse(ex)) == np.asarray(parse(fa))))
 
+    ctrl = outs["control"]
+    agree_ctrl = float(np.mean(
+        np.asarray(parse(ex)) == np.asarray(parse(ctrl))))
     RESULTS["e2e_seg_fast_vs_exact"] = {
         "final_image_psnr_db": _psnr(fa, ex),
+        # chaos floor for THIS flow: exact programs, xts[t_skip] scaled by
+        # 1+1e-6 — fast-vs-exact at/above this is fp-noise-level
+        "control_image_psnr_db": _psnr(ctrl, ex),
         # random-weight BiSeNet can yield an empty (or full) class mask —
         # guard both selections (the tiny CPU run hit the empty side)
         "psnr_inside_edit_mask_db": _psnr(fa[inside], ex[inside])
@@ -366,6 +444,8 @@ def seg_block(tiny, models, exact_img_shape):
         "psnr_outside_edit_mask_db": _psnr(fa[~inside], ex[~inside])
         if (~inside).any() else None,
         "bisenet_parse_agreement": agree,
+        "control_parse_agreement": agree_ctrl,
+        "edit_class": edit_cls,
         "mask_frac": float(inside.mean()),
     }
     print(f"[ladder] seg composition: {RESULTS['e2e_seg_fast_vs_exact']}",
@@ -373,4 +453,8 @@ def seg_block(tiny, models, exact_img_shape):
 
 
 if __name__ == "__main__":
-    main(tiny="--tiny" in sys.argv)
+    if "--seg-only" in sys.argv:
+        seg_only(tiny="--tiny" in sys.argv)
+    else:
+        main(tiny="--tiny" in sys.argv,
+             decode_only="--decode-only" in sys.argv)
