@@ -583,7 +583,7 @@ def phase_seg_train(tiny):
 
     state, _ = chained(state, n_lo)  # compile + warm
     slopes = []
-    for attempt in range(4):
+    for attempt in range(6):
         t0 = time.perf_counter()
         state, _ = chained(state, n_lo)
         t_lo = time.perf_counter() - t0
@@ -598,12 +598,17 @@ def phase_seg_train(tiny):
         # attempt is garbage rather than record a negative number.
         if ms > 0:
             slopes.append(ms)
-        if len(slopes) >= 2:
+        if len(slopes) >= 3:
             break
     if not slopes:
         raise RuntimeError("all slope samples non-positive (relay stalls)")
-    best = min(slopes)
-    return best, batch / best * 1e3  # ms/step, img/s/chip
+    # MEDIAN, not min: a mild LO-window stall DEFLATES a slope without
+    # flipping its sign, so min() selects the most-stalled sample — the
+    # mechanism behind r04's unreproducible abn-bf16 21.4 ms best-of-3
+    # (6-pass r05 re-run: median 25.2, band 25.0-26.1). min() stays valid
+    # only for direct durations, where stalls can only inflate.
+    med = float(np.median(slopes))
+    return med, batch / med * 1e3  # ms/step, img/s/chip
 
 
 def _timed_chain(run_pass, x_warm, x0, reps, samples=3):
@@ -806,19 +811,19 @@ def main():
             "e2e", phase_e2e(tiny, models))),
         ("int8", 240, lambda: _extra("int8_guided_steps_s")(
             "int8", phase_int8(tiny, models))),
-        ("train", 240, _run_train),
+        ("train", 260, _run_train),
         ("proxy", 180, lambda: _extra("proxy_guided_steps_s")(
             "proxy", phase_proxy(tiny, models))),
         ("seg", 300, lambda: _extra("seg_steps_s")(
             "seg", phase_guided_edit(tiny, models, guidance="seg", reps=2))),
         ("batch", 300, _run_batch),
-        ("encprop", 180, lambda: _extra("encprop_k3_steps_s")(
+        ("encprop", 240, lambda: _extra("encprop_k3_steps_s")(
             "encprop", phase_encprop(tiny, models, k=3))),
         ("e2e_seg", 360, lambda: _extra("e2e_seg_edit_s")(
             "e2e_seg", phase_e2e_seg(tiny, models, reps=3))),
         ("e2e_seg_fast", 300, lambda: _extra("e2e_seg_fast_s")(
             "e2e_seg_fast", phase_e2e_seg(tiny, models, reps=3, fast=True))),
-        ("ldm", 360, lambda: _extra("ldm_clf_steps_s")(
+        ("ldm", 700, lambda: _extra("ldm_clf_steps_s")(
             "ldm", phase_ldm_clf())),
         ("sweep", 240, lambda: _extra("sweep8_sample_steps_s")(
             "sweep", phase_sweep(tiny, models))),
