@@ -387,6 +387,29 @@ def test_prepare_real_image_edit_tskip_same_edit_result():
     np.testing.assert_allclose(outs[1], outs[0], rtol=3e-4, atol=3e-4)
 
 
+def test_prepare_tskip_clamped_beyond_steps():
+    """t_skip > num_inference_steps must clamp (the CLI's default t_skip=36
+    exceeds n at small --steps; edit_image's xts[t_skip] relies on jnp's
+    index clamping for the same case) rather than raise."""
+    from diffusion_image_editing_tpu.pipeline.edit_pipeline import EditPipeline
+    from diffusion_image_editing_tpu.pipeline.wrappers import DiffusionWrapper
+
+    sched = make_schedule(num_inference_steps=STEPS, clip_sample=False)
+    model = UNet2D(TINY_UNET2D)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.int32(0))
+    pipe = EditPipeline(DiffusionWrapper(model, params, sched))
+    img = jax.random.uniform(jax.random.PRNGKey(54), (1, 16, 16, 3)) * 2 - 1
+    xt, zs, xts, _, _ = pipe.prepare_real_image_edit(
+        img, eta=1.0, inversion_method="ddpm", key=jax.random.PRNGKey(55),
+        mode="batched", t_skip=STEPS + 26,
+    )
+    assert zs.shape[0] == STEPS
+    # clamped to the last index: only the final row is extracted (and it is
+    # the row the reference zeroes anyway)
+    assert np.asarray(zs[:-1]).max() == 0.0
+
+
 def test_apply_batched_chunked_vjp_matches_serialized():
     """vjp_chunk > 1 vmaps k samples per guidance VJP (lax.map batch_size).
     Per-sample loss normalization must be preserved under vmap: chunked
