@@ -82,19 +82,21 @@ _COMPUTE = {"fusion", "convolution", "dot", "custom-call", "sort", "scatter",
             "reduce", "reduce-window", "cholesky", "triangular-solve"}
 
 
-def _payload_bytes(line: str) -> int:
-    """Sum tensor payload on the lhs of a collective(-start) line."""
-    lhs = line.split("=", 1)[1]
-    lhs = re.split(rf"{_COLL}(?:-start)?\(", lhs)[0]
-    total = 0
+def _payload_bytes(line: str, end: int) -> int:
+    """Payload of a collective(-start) line = the LARGEST tensor on the lhs
+    (async starts carry an (in, out, ...) tuple plus u32 sync flags; the
+    transferred buffer is the biggest member). `end` = opcode match end, so
+    only the type part left of the opcode is scanned."""
+    lhs = line[: end].split("=", 1)[1]
+    best = 0
     for m in re.finditer(r"([a-z0-9]+)\[([0-9,]*)\]", lhs):
         dt, dims = m.group(1), m.group(2)
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES.get(dt, 4)
-    return total
+        best = max(best, n * _DTYPE_BYTES.get(dt, 4))
+    return best
 
 
 def overlap_census(hlo: str):
@@ -122,11 +124,11 @@ def overlap_census(hlo: str):
         sm = _START_RE.match(opcode)
         dm = _DONE_RE.match(opcode)
         if sm:
-            open_starts[name] = [sm.group(1), _payload_bytes(raw), 0]
+            open_starts[name] = [sm.group(1), _payload_bytes(raw, om.start()), 0]
             continue
         if dm:
-            # done's operand names the start instruction
-            opnd = re.search(r"\(%?([\w.-]+)[,)]", raw.split(opcode, 1)[1])
+            # done's operand (right after the opcode's paren) names the start
+            opnd = re.match(r"\s*%?([\w.-]+)", raw[om.end():])
             key = opnd.group(1) if opnd else None
             info = open_starts.pop(key, None)
             if info is None:
@@ -144,7 +146,7 @@ def overlap_census(hlo: str):
         if base:
             k = kinds[opcode]
             k["sync_instances"] += 1
-            k["bytes"] += _payload_bytes(raw)
+            k["bytes"] += _payload_bytes(raw, om.start())
             continue
         if opcode in _COMPUTE:
             for info in open_starts.values():
@@ -195,6 +197,86 @@ def report(compiled, tag, rep):
     print(f"{tag}: mem={entry.get('memory_per_device_gb')} "
           f"overlap={entry['overlap_fraction_bytes']}", flush=True)
     return entry
+
+
+def reanalyze():
+    """Recompute the collective schedule census from the /tmp HLO dumps of a
+    prior run (parser fixes shouldn't cost a 40-minute recompile)."""
+    path = "/root/repo/MULTICHIP_AOT_V5E8_r05.json"
+    with open(path) as f:
+        rep = json.load(f)
+    for tag in ("guided_step_bf16", "inversion_group_bf16", "seg_train_dp8"):
+        hlo_path = f"/tmp/aot_v5e8_{tag}.hlo"
+        if not os.path.exists(hlo_path) or tag not in rep:
+            print(f"skip {tag} (no dump or no entry)")
+            continue
+        with open(hlo_path) as f:
+            oc = overlap_census(f.read())
+        rep[tag]["collectives_scheduled"] = oc
+        tot = sum(v["mb"] for v in oc.values())
+        ov = sum(v["mb_overlapped"] for v in oc.values())
+        rep[tag]["overlap_fraction_bytes"] = round(ov / tot, 4) if tot else None
+        print(tag, json.dumps(oc, indent=2))
+        print(f"{tag}: overlap_fraction_bytes={rep[tag]['overlap_fraction_bytes']}")
+    with open(path, "w") as f:
+        json.dump(rep, f, indent=2)
+    print("rewritten", path)
+
+
+def project_update():
+    """Fold the measured v5e schedule into the r05 projection: replace the
+    ASSUMED comm-exposure band [25%, 100%] with the fraction the real
+    compiler's schedule actually exposes, and bracket comm bytes between the
+    GSPMD-census count (logical payloads) and the scheduled module's buffer
+    payloads (post-rewrite upper bound: the compiler decomposed 34 logical
+    all-gathers into 138 instructions). Appends a `schedule_informed`
+    section to MULTICHIP_PROJECTION_r05.json — inputs and outputs, no
+    hand-entered numbers."""
+    with open("/root/repo/MULTICHIP_AOT_V5E8_r05.json") as f:
+        aot = json.load(f)
+    with open("/root/repo/MULTICHIP_PROJECTION_r05.json") as f:
+        proj = json.load(f)
+    oc = aot["guided_step_bf16"]["collectives_scheduled"]
+    tot_mb = sum(v["mb"] for v in oc.values())
+    hidden_mb = sum(v["mb_overlapped"] for v in oc.values())
+    exposure = (tot_mb - hidden_mb) / tot_mb
+    bytes_lo_mb = proj["comm"]["bytes_per_device_per_step_mb"]  # GSPMD census
+    bytes_hi_mb = tot_mb                                        # scheduled buffers
+    link = proj["comm"]["ici_link_bps"]
+    comm_ms = [bytes_lo_mb * 2**20 / (2 * link) * 1e3,
+               bytes_hi_mb * 2**20 / link * 1e3]
+    exposed_ms = [comm_ms[0] * exposure, comm_ms[1] * 1.0]
+    comp_ms = proj["projection"]["compute_ms_band"]
+    step_ms = [c + x for c, x in zip(comp_ms, exposed_ms)]
+    inv_s = proj["projection"]["inversion_s_band"]
+    codec_s = proj["projection"]["codec_s_band"]
+    resid = proj["projection"]["residual_host_s"]
+    e2e = [i + 50 * s / 1e3 + c + resid
+           for i, s, c in zip(inv_s, step_ms, codec_s)]
+    proj["schedule_informed"] = {
+        "source": "MULTICHIP_AOT_V5E8_r05.json (real v5e compiler, scheduled module)",
+        "measured_exposure_fraction_bytes": round(exposure, 4),
+        "schedule_facts": {
+            "async": "collective-permute only (halo exchanges): "
+                     f"{oc['collective-permute']['pairs_with_compute']}/"
+                     f"{oc['collective-permute']['async_pairs']} pairs have "
+                     "compute scheduled in flight",
+            "sync": "all-gather/all-reduce scheduled synchronously — the "
+                    "decode-VJP chain is serial, nothing independent exists "
+                    "to overlap (the compiler DOES async-gather when slack "
+                    "exists: verified on a probe module)",
+        },
+        "comm_bytes_band_mb": [bytes_lo_mb, round(bytes_hi_mb, 2)],
+        "comm_bytes_note": "lo = GSPMD logical census; hi = scheduled-module "
+                           "buffer payloads (post-decomposition upper bound; "
+                           "ring all-gather wire bytes are (N-1)/N of buffer)",
+        "exposed_ms_band": [round(x, 3) for x in exposed_ms],
+        "step_ms_band": [round(s, 3) for s in step_ms],
+        "e2e_s_band": [round(x, 3) for x in e2e],
+    }
+    with open("/root/repo/MULTICHIP_PROJECTION_r05.json", "w") as f:
+        json.dump(proj, f, indent=2)
+    print(json.dumps(proj["schedule_informed"], indent=2))
 
 
 def main():
@@ -266,4 +348,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "reanalyze":
+        reanalyze()
+    elif len(sys.argv) > 1 and sys.argv[1] == "project":
+        project_update()
+    else:
+        main()
