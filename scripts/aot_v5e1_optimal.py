@@ -5,16 +5,21 @@ DDIM update + colour-guidance VJP through the full 512px VAE decoder — the
 headline program) for a one-chip v5e topology with the local libtpu
 toolchain (compile-only, no chip), and reports `cost_analysis()`:
 
-  * flops                — exact module FLOPs (matches project_v5e8 anchor)
-  * optimal_seconds      — the compiler's roofline estimate for this module
-                           on v5e (max of FLOP-time and byte-time per op,
-                           summed post-fusion)
+  * flops            — exact module FLOPs (matches the project_v5e8 anchor)
+  * bytes accessed   — post-fusion HBM traffic of the real-layout module
 
-Measured wall (PARITY, interleaved chip A/Bs): 69.87-70.28 ms/step. The
-ratio measured/optimal is the honest "fraction of speed-of-light" for the
-WHOLE step — one number summarizing what the per-shape conv survey (45-77%
-of MXU peak per conv) says piecewise. Also dumps the scheduled single-chip
-HLO to /tmp for inspection.
+`optimal_seconds` itself OVERFLOWS NEGATIVE on modules this size (measured
+on the v5e:2x4 programs — never trust that field), so rooflines come from
+the two totals. MEASURED FINDING (this run): the byte "bound"
+(bytes/819 GB/s = 96.3 ms) is NOT a bound — the chip runs the step in
+69.9 ms. `bytes accessed` counts post-fusion operand bytes PER OP, so a
+buffer read by several fusions (and VMEM-resident reuse) is counted every
+time; it overestimates unique HBM traffic. The only true lower bound is
+the FLOP bound (flops / 197 TFLOP/s bf16 = 35.7 ms), so the honest
+one-number summary is: the headline step runs at ~51% of v5e bf16 compute
+speed-of-light (measured 69.87-70.28 ms, PARITY interleaved chip A/Bs) —
+consistent with the per-shape conv survey's 45-77% of MXU peak piecewise.
+Also dumps the scheduled single-chip HLO to /tmp for inspection.
 
 Run:
   PALLAS_AXON_POOL_IPS= timeout 2400 python scripts/aot_v5e1_optimal.py
@@ -60,14 +65,9 @@ MEAS_STEP_MS_BAND = (69.87, 70.28)  # PARITY round-3/5 interleaved chip A/Bs
 
 
 def main():
-    for name in ("v5e:1x1", "v5litepod-1"):
-        try:
-            topo = topologies.get_topology_desc(name, "tpu")
-            break
-        except Exception as e:  # noqa: BLE001
-            print(f"topology {name!r} failed: {e}", flush=True)
-    else:
-        raise SystemExit("no single-chip v5e topology available")
+    name = "v5e:1x1"
+    topo = topologies.get_topology_desc(name, "tpu",
+                                        chips_per_host_bounds=[1, 1, 1])
     devs = list(topo.devices)
     print(f"topology {name!r}: {len(devs)} device(s)", flush=True)
     mesh = Mesh(devs[:1], ("one",))
@@ -105,18 +105,30 @@ def main():
     cost = comp.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0))
-    opt_s = float(cost.get("optimal_seconds", 0.0))
+    hbm_bytes = float(cost.get("bytes accessed", 0.0))
+    PEAK_FLOPS = 197e12  # v5e bf16
+    PEAK_BW = 819e9      # v5e HBM B/s
+    t_flops_ms = flops / PEAK_FLOPS * 1e3
+    t_bytes_ms = hbm_bytes / PEAK_BW * 1e3
     mem = comp.memory_analysis()
     rep = {
         "program": "unsharded bf16 512px guided edit step (headline)",
         "compiler": "real v5e toolchain via local libtpu (compile-only)",
         "flops": flops,
-        "optimal_seconds": opt_s,
-        "optimal_ms": round(opt_s * 1e3, 3) if opt_s else None,
+        "hbm_bytes_accessed": hbm_bytes,
+        "optimal_seconds_field": float(cost.get("optimal_seconds", 0.0)),
+        "roofline_ms": {
+            "flop_bound": round(t_flops_ms, 3),
+            "bytes_accessed_over_bw": round(t_bytes_ms, 3),
+            "note": ("bytes-accessed/BW (96 ms) EXCEEDS the measured 70 ms "
+                     "step, so it is not a bound: the counter tallies "
+                     "post-fusion operand bytes per op, double-counting "
+                     "buffers reused across fusions. flop_bound is the only "
+                     "true lower bound."),
+        },
         "measured_ms_band": list(MEAS_STEP_MS_BAND),
-        "fraction_of_optimal": (
-            [round(opt_s * 1e3 / m, 4) for m in MEAS_STEP_MS_BAND]
-            if opt_s else None),
+        "fraction_of_flop_speed_of_light": [round(t_flops_ms / m, 4)
+                                            for m in MEAS_STEP_MS_BAND],
         "memory_per_device_gb": {
             "argument": round(mem.argument_size_in_bytes / 2**30, 3),
             "temp": round(mem.temp_size_in_bytes / 2**30, 3),
