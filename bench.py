@@ -58,16 +58,11 @@ if _INNER or __name__ != "__main__":
     # warm ~20 — the cache makes every fresh-process retry (and the driver's
     # end-of-round run) warm-start across processes. Opt out with
     # DIE_BENCH_NO_COMPCACHE=1 if a backend mis-serves cached executables.
-    if os.environ.get("DIE_BENCH_NO_COMPCACHE") != "1":
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/root/repo/.jax_cache"),
-            )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-        except Exception:
-            pass  # older jax without the knobs — cold compiles only
+    from diffusion_image_editing_tpu.utils.compcache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 import numpy as np
 
 BASELINE_STEPS_PER_SEC_PER_CHIP = 3.125

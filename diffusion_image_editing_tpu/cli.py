@@ -352,6 +352,12 @@ def main(argv=None):
     v.set_defaults(fn=cmd_seg_eval)
 
     args = p.parse_args(argv)
+    # Persistent XLA compilation cache: fresh CLI processes warm-start the
+    # 20-40 s first-dispatch compiles from disk (utils/compcache.py). Must
+    # run before the command's first jit dispatch.
+    from .utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.fn(args)
 
 

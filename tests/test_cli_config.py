@@ -110,3 +110,34 @@ def test_clip_tokenizer_from_hf_dir(tmp_path):
     tok = CLIPTokenizer.from_pretrained(str(tmp_path), max_length=8)
     ids = tok.encode("hi")
     assert ids[1] == vocab["hi</w>"]  # merge applied
+
+
+def test_persistent_compcache_writes_and_opt_out(tmp_path, monkeypatch):
+    """utils/compcache.py: the persistent XLA compilation cache is enabled
+    before first dispatch (CLI/bench cold-start path) and respects the
+    DIE_TPU_NO_COMPCACHE opt-out."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_image_editing_tpu.utils.compcache import (
+        enable_persistent_cache,
+    )
+
+    monkeypatch.setenv("DIE_TPU_NO_COMPCACHE", "1")
+    assert enable_persistent_cache(str(tmp_path / "never")) is False
+
+    monkeypatch.delenv("DIE_TPU_NO_COMPCACHE")
+    cache_dir = tmp_path / "jc"
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        assert enable_persistent_cache(str(cache_dir),
+                                       min_compile_secs=0.0) is True
+        # A fresh (unseen-shape) compile must land a cache entry on disk.
+        f = jax.jit(lambda x: jnp.tanh(x) * 3 + 1)
+        float(f(jnp.arange(173.0)).sum())
+        assert cache_dir.is_dir() and any(cache_dir.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
